@@ -1,0 +1,147 @@
+"""Command-line interface.
+
+The reference's only driver is ``main()`` filtering stdin→stdout
+(n_ary_huffman.c:2893-2906).  This CLI covers the same streaming use
+plus file mode, codec/arity selection and stream inspection.
+
+Usage:
+  python -m data_compression_tpu compress   [-c CODEC] [-n ARITY] [opts] IN OUT
+  python -m data_compression_tpu decompress IN OUT
+  python -m data_compression_tpu roundtrip  [-c CODEC] [-n ARITY] IN
+  python -m data_compression_tpu info       IN
+  (use '-' for stdin/stdout)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from data_compression_tpu import api, framing
+from data_compression_tpu.config import CODEC_IDS, CodecConfig
+
+
+def _read(path: str) -> bytes:
+    if path == "-":
+        return sys.stdin.buffer.read()
+    with open(path, "rb") as f:
+        return f.read()
+
+
+def _write(path: str, data: bytes) -> None:
+    if path == "-":
+        sys.stdout.buffer.write(data)
+        sys.stdout.buffer.flush()
+    else:
+        with open(path, "wb") as f:
+            f.write(data)
+
+
+def _config(args) -> CodecConfig:
+    return CodecConfig(
+        codec=args.codec,
+        arity=args.arity,
+        block_size=args.block_size,
+        chunk_syms=args.chunk_syms,
+        shared_table=args.shared_table,
+        use_device=not args.no_device,
+    )
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="data_compression_tpu", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def add_codec_flags(sp):
+        sp.add_argument("-c", "--codec", default="huffman", choices=sorted(CODEC_IDS))
+        sp.add_argument("-n", "--arity", type=int, default=2, choices=[2, 3, 16])
+        sp.add_argument("--block-size", type=int, default=64 * 1024)
+        sp.add_argument("--chunk-syms", type=int, default=4096)
+        sp.add_argument("--shared-table", action="store_true")
+        sp.add_argument("--no-device", action="store_true", help="host (numpy) path")
+
+    sp = sub.add_parser("compress", help="compress IN to OUT")
+    add_codec_flags(sp)
+    sp.add_argument("input")
+    sp.add_argument("output")
+
+    sp = sub.add_parser("decompress", help="decompress IN to OUT")
+    sp.add_argument("--chunk-syms", type=int, default=4096)
+    sp.add_argument("--no-device", action="store_true")
+    sp.add_argument("input")
+    sp.add_argument("output")
+
+    sp = sub.add_parser("roundtrip", help="compress+decompress+verify IN")
+    add_codec_flags(sp)
+    sp.add_argument("input")
+
+    sp = sub.add_parser("info", help="print stream header as JSON")
+    sp.add_argument("input")
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "compress":
+        data = _read(args.input)
+        t0 = time.perf_counter()
+        out = api.compress(data, _config(args))
+        dt = time.perf_counter() - t0
+        _write(args.output, out)
+        print(
+            f"{len(data)} -> {len(out)} bytes "
+            f"(ratio {len(out)/max(1,len(data)):.4f}, {dt:.3f}s, "
+            f"{len(data)/max(dt,1e-9)/1e6:.1f} MB/s)",
+            file=sys.stderr,
+        )
+        return 0
+
+    if args.cmd == "decompress":
+        data = _read(args.input)
+        cfg = CodecConfig(chunk_syms=args.chunk_syms, use_device=not args.no_device)
+        t0 = time.perf_counter()
+        out = api.decompress(data, cfg)
+        dt = time.perf_counter() - t0
+        _write(args.output, out)
+        print(
+            f"{len(data)} -> {len(out)} bytes ({dt:.3f}s)",
+            file=sys.stderr,
+        )
+        return 0
+
+    if args.cmd == "roundtrip":
+        data = _read(args.input)
+        cfg = _config(args)
+        out = api.compress(data, cfg)
+        back = api.decompress(out, cfg)
+        ok = back == data
+        print(
+            f"{'OK' if ok else 'MISMATCH'}: {len(data)} -> {len(out)} "
+            f"(ratio {len(out)/max(1,len(data)):.4f})",
+            file=sys.stderr,
+        )
+        return 0 if ok else 1
+
+    if args.cmd == "info":
+        frame = framing.unpack_frame(_read(args.input))
+        print(
+            json.dumps(
+                {
+                    "codec": frame.codec_name,
+                    "arity": frame.arity,
+                    "block_size": frame.block_size,
+                    "total_len": frame.total_len,
+                    "num_blocks": len(frame.entries),
+                    "shared_table": frame.shared_table is not None,
+                    "literal_blocks": sum(e.is_literal for e in frame.entries),
+                    "compressed_bytes": sum(e.comp_len for e in frame.entries),
+                }
+            )
+        )
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

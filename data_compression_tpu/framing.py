@@ -1,0 +1,189 @@
+"""Binary container format (v1).
+
+The reference frames blocks two ways: netstrings with 2-byte type tags
+(n_ary_huffman.c:1915-1928) and bare 1-byte type headers on
+NUL-terminated strings (nybble_compression.c:732-733,
+small_compression.c:35-40).  Both are text-oriented and cannot carry
+arbitrary binary.  This container keeps the reference's core ideas —
+versioned format (the author insists on this, n_ary_huffman.c:211-241),
+per-block self-contained streams, a mandatory LITERAL pass-through
+fallback when compression does not win (nybble_compression.c:1018-1037)
+— and adds what a parallel decoder needs, exactly as the reference's
+own design note anticipates (small_compression.c:911-931: "wrap each
+block ... with length of this compressed block and length after
+decompression, so a parallel processor can skip ahead"):
+
+Layout (all little-endian):
+
+  +--------------------------------------------------------------+
+  | magic "DCTZ" | ver u16 | flags u16 | codec u8 | arity u8 |   |
+  | bsize u32 | nblocks u32 | total u64 | reserved u16 |header   |
+  | crc u32                                        = 32 bytes    |
+  +--------------------------------------------------------------+
+  | optional shared-table section: len u32 + payload (flag bit0) |
+  +--------------------------------------------------------------+
+  | block table: nblocks x {comp u32, raw u32, crc u32,          |
+  |                         bflags u32}             16 B/entry   |
+  +--------------------------------------------------------------+
+  | payload_0 | payload_1 | ...                                  |
+  +--------------------------------------------------------------+
+
+Block flag bit0 = LITERAL pass-through (payload is the raw bytes).
+CRC32 is of the *uncompressed* block, so decode verifies round-trip
+integrity per block and any block can be retried independently
+(failure-detection / restartability story; the reference has none).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import struct
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from data_compression_tpu.config import CODEC_IDS, CODEC_NAMES
+from data_compression_tpu.utils.crc import crc32
+
+MAGIC = b"DCTZ"
+VERSION = 1
+
+FLAG_SHARED_TABLE = 1 << 0
+
+BLOCK_LITERAL = 1 << 0
+
+_HEADER = struct.Struct("<4sHHBBIIQHI")  # 32 bytes
+_ENTRY = struct.Struct("<IIII")  # 16 bytes
+assert _HEADER.size == 32
+assert _ENTRY.size == 16
+
+
+@dataclasses.dataclass
+class BlockEntry:
+    comp_len: int
+    raw_len: int
+    crc: int
+    flags: int
+
+    @property
+    def is_literal(self) -> bool:
+        return bool(self.flags & BLOCK_LITERAL)
+
+
+@dataclasses.dataclass
+class Frame:
+    codec_id: int
+    arity: int
+    block_size: int
+    total_len: int
+    flags: int
+    shared_table: Optional[bytes]
+    entries: List[BlockEntry]
+    payloads: List[bytes]
+
+    @property
+    def codec_name(self) -> str:
+        return CODEC_NAMES[self.codec_id]
+
+
+def pack_frame(
+    codec_id: int,
+    arity: int,
+    block_size: int,
+    total_len: int,
+    payloads: Sequence[bytes],
+    raw_lens: Sequence[int],
+    crcs: Sequence[int],
+    block_flags: Sequence[int],
+    shared_table: Optional[bytes] = None,
+) -> bytes:
+    """Assemble a complete framed stream."""
+    n = len(payloads)
+    assert n == len(raw_lens) == len(crcs) == len(block_flags)
+    flags = FLAG_SHARED_TABLE if shared_table is not None else 0
+    head_wo_crc = _HEADER.pack(
+        MAGIC, VERSION, flags, codec_id, arity, block_size, n, total_len, 0, 0
+    )[:-4]
+    header = head_wo_crc + struct.pack("<I", crc32(head_wo_crc))
+    parts = [header]
+    if shared_table is not None:
+        parts.append(struct.pack("<I", len(shared_table)))
+        parts.append(shared_table)
+    for p, r, c, f in zip(payloads, raw_lens, crcs, block_flags):
+        parts.append(_ENTRY.pack(len(p), int(r), int(c) & 0xFFFFFFFF, int(f)))
+    parts.extend(payloads)
+    return b"".join(parts)
+
+
+def unpack_frame(data: bytes) -> Frame:
+    """Parse a framed stream (payloads are zero-copy memoryview slices
+    materialized as bytes)."""
+    if len(data) < _HEADER.size:
+        raise ValueError("truncated frame: header")
+    (magic, ver, flags, codec_id, arity, bsize, nblocks, total, _rsvd, hcrc) = (
+        _HEADER.unpack_from(data, 0)
+    )
+    if magic != MAGIC:
+        raise ValueError(f"bad magic {magic!r}")
+    if ver != VERSION:
+        raise ValueError(f"unsupported version {ver}")
+    if crc32(data[: _HEADER.size - 4]) != hcrc:
+        raise ValueError("header CRC mismatch")
+    off = _HEADER.size
+    shared_table = None
+    if flags & FLAG_SHARED_TABLE:
+        (tlen,) = struct.unpack_from("<I", data, off)
+        off += 4
+        shared_table = bytes(data[off : off + tlen])
+        if len(shared_table) != tlen:
+            raise ValueError("truncated frame: shared table")
+        off += tlen
+    entries = []
+    for _ in range(nblocks):
+        comp, raw, bcrc, bflags = _ENTRY.unpack_from(data, off)
+        off += _ENTRY.size
+        entries.append(BlockEntry(comp, raw, bcrc, bflags))
+    payloads = []
+    mv = memoryview(data)
+    for e in entries:
+        payloads.append(bytes(mv[off : off + e.comp_len]))
+        if len(payloads[-1]) != e.comp_len:
+            raise ValueError("truncated frame: payload")
+        off += e.comp_len
+    return Frame(
+        codec_id=codec_id,
+        arity=arity,
+        block_size=bsize,
+        total_len=total,
+        flags=flags,
+        shared_table=shared_table,
+        entries=entries,
+        payloads=payloads,
+    )
+
+
+def split_blocks(data: bytes, block_size: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Split a byte stream into a padded [num_blocks, block_size] uint8
+    array plus per-block valid lengths — the device-side layout that
+    turns the reference's serial stdin loop (n_ary_huffman.c:2508-2580)
+    into a shardable axis."""
+    arr = np.frombuffer(data, dtype=np.uint8)
+    n = len(arr)
+    if n == 0:
+        return np.zeros((0, block_size), np.uint8), np.zeros((0,), np.int64)
+    nblocks = -(-n // block_size)
+    padded = np.zeros((nblocks, block_size), np.uint8)
+    padded.reshape(-1)[:n] = arr
+    lengths = np.full(nblocks, block_size, np.int64)
+    lengths[-1] = n - (nblocks - 1) * block_size
+    return padded, lengths
+
+
+def join_blocks(blocks: np.ndarray, lengths: np.ndarray) -> bytes:
+    """Inverse of split_blocks."""
+    if blocks.shape[0] == 0:
+        return b""
+    if np.all(lengths == blocks.shape[1]):
+        return blocks.tobytes()
+    parts = [blocks[i, : int(lengths[i])].tobytes() for i in range(blocks.shape[0])]
+    return b"".join(parts)

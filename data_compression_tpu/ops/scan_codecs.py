@@ -1,0 +1,203 @@
+"""Serial-state codecs as vmapped lax.scan lanes — one block per lane.
+
+The MTF/LZW schemes are inherently sequential *within* a block (every
+output byte depends on the mutable context table updated by the
+previous byte — SURVEY.md §3.3), so the TPU strategy is parallelism
+*across* blocks: a ``jax.lax.scan`` carries the 16x8 context table per
+lane and ``jax.vmap`` runs thousands of lanes at once.  All shapes are
+static; emission counts vary per step, so streams are assembled with an
+exclusive-cumsum scatter into a padded buffer and compacted on host.
+
+Semantics are bit-exact with models/nybble.py (itself bit-exact with
+nybble_compression.c) — enforced by tests/test_nybble.py which
+cross-checks the two paths byte-for-byte.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from data_compression_tpu.models import nybble as nyb_host
+
+_SEED = jnp.asarray(np.frombuffer(nyb_host.SEED_ROW, np.uint8).astype(np.int32))
+
+
+def _init_table():
+    return jnp.tile(_SEED[None, :], (16, 1))
+
+
+def _mtf_update(table, ctx, byte):
+    """Vectorized update_context (nybble_compression.c:665-687)."""
+    row = jax.lax.dynamic_slice(table, (ctx, 0), (1, 8))[0]
+    eq = row == byte
+    hit = jnp.any(eq)
+    pos = jnp.where(hit, jnp.argmax(eq), 7)
+    j = jnp.arange(8)
+    shifted = jnp.where(j == 0, byte, row[jnp.maximum(j - 1, 0)])
+    new_row = jnp.where(j <= pos, shifted, row)
+    return jax.lax.dynamic_update_slice(table, new_row[None, :], (ctx, 0))
+
+
+def _encode_lane(src, length):
+    """Encode one block lane. src: [S] int32, length: scalar int32.
+
+    Returns (counts [S-1+1], b1 [S], b2 [S]) where step i in [0, S-1)
+    handles src[i+1] and the last slot is the odd-nybble flush.
+    """
+    S = src.shape[0]
+
+    def step(carry, i):
+        table, pending = carry
+        p = src[i - 1]
+        s = src[i]
+        active = i < length
+        ctx = (p >> 3) & 15
+        row = jax.lax.dynamic_slice(table, (ctx, 0), (1, 8))[0]
+        eq = row == s
+        hit = jnp.any(eq)
+        pos = jnp.argmax(eq)
+        nybv = 8 | pos
+        has_pending = pending >= 0
+
+        # hit & no pending  -> emit 0, pending' = nyb
+        # hit & pending     -> emit 1: (pending<<4)|nyb
+        # miss & no pending -> emit 1: s (aligned literal)
+        # miss & pending    -> emit 2: p, s (re-expand previous)
+        count = jnp.where(
+            hit,
+            jnp.where(has_pending, 1, 0),
+            jnp.where(has_pending, 2, 1),
+        )
+        b1 = jnp.where(
+            hit,
+            (pending << 4) | nybv,
+            jnp.where(has_pending, p, s),
+        )
+        b2 = s
+        new_pending = jnp.where(hit & ~has_pending, nybv, -1)
+
+        new_table = _mtf_update(table, ctx, s)
+        table = jnp.where(active, new_table, table)
+        pending = jnp.where(active, new_pending, pending)
+        count = jnp.where(active, count, 0)
+        return (table, pending), (count, b1.astype(jnp.int32), b2)
+
+    (table, pending), (counts, b1, b2) = jax.lax.scan(
+        step, (_init_table(), jnp.int32(-1)), jnp.arange(1, S)
+    )
+    # Trailing odd-nybble flush (compress_bytestring :1000-1009).
+    flush_count = jnp.where(pending >= 0, 1, 0)
+    flush_byte = src[jnp.maximum(length - 1, 0)]
+    counts = jnp.concatenate([counts, flush_count[None]])
+    b1 = jnp.concatenate([b1, flush_byte[None]])
+    b2 = jnp.concatenate([b2, jnp.zeros((1,), jnp.int32)])
+
+    # Assemble: header [0xAF, src[0]] then scattered emissions.
+    out = jnp.zeros((S + 4,), jnp.int32)
+    out = out.at[0].set(nyb_host.NYBBLES_TYPE)
+    out = out.at[1].set(src[0])
+    start = 2 + jnp.cumsum(counts) - counts  # exclusive cumsum
+    trash = S + 3
+    idx1 = jnp.where(counts >= 1, start, trash)
+    idx2 = jnp.where(counts >= 2, start + 1, trash)
+    out = out.at[idx1].set(b1, mode="drop")
+    out = out.at[idx2].set(b2, mode="drop")
+    total = 2 + jnp.sum(counts)
+    return out.astype(jnp.uint8), total
+
+
+def _decode_lane(payload, raw_len, S):
+    """Decode one lane. payload: [P] int32 (type byte stripped by
+    caller: payload[0] is the verbatim first plaintext byte).  S is the
+    static maximum output length."""
+    P = payload.shape[0]
+    first = payload[0]
+
+    def step(carry, i):
+        table, j, prev = carry
+        active = i < raw_len - 1
+        b = payload[jnp.minimum(1 + (j >> 1), P - 1)]
+        nybv = jnp.where((j & 1) == 0, (b >> 4) & 0xF, b & 0xF)
+        j2 = j + 1
+        b2 = payload[jnp.minimum(1 + (j2 >> 1), P - 1)]
+        nxt = jnp.where((j2 & 1) == 0, (b2 >> 4) & 0xF, b2 & 0xF)
+        compressed = (nybv & 0x8) != 0
+        ctx = (prev >> 3) & 15
+        row = jax.lax.dynamic_slice(table, (ctx, 0), (1, 8))[0]
+        o = jnp.where(compressed, row[nybv & 0x7], ((nybv & 0x7) << 4) | nxt)
+        used = jnp.where(compressed, 1, 2)
+        new_table = _mtf_update(table, ctx, o)
+        table = jnp.where(active, new_table, table)
+        j = jnp.where(active, j + used, j)
+        prev = jnp.where(active, o, prev)
+        return (table, j, prev), jnp.where(active, o, 0)
+
+    (_, _, _), outs = jax.lax.scan(
+        step,
+        (_init_table(), jnp.int32(0), first),
+        jnp.arange(S - 1),
+    )
+    return jnp.concatenate([first[None], outs]).astype(jnp.uint8)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@jax.jit
+def _encode_batch(src, lengths):
+    return jax.vmap(_encode_lane)(src.astype(jnp.int32), lengths)
+
+
+@functools.partial(jax.jit, static_argnames=("S",))
+def _decode_batch(payloads, raw_lens, S):
+    return jax.vmap(lambda p, r: _decode_lane(p, r, S))(
+        payloads.astype(jnp.int32), raw_lens
+    )
+
+
+def nybble_encode_blocks(blocks: np.ndarray, lengths: np.ndarray) -> List[bytes]:
+    """Device-parallel encode of [B, S] blocks -> list of payload bytes.
+
+    Blocks containing bytes >= 0x80 are returned raw (the framing layer
+    turns them into LITERAL blocks), matching the host path.
+    """
+    blocks = np.asarray(blocks, np.uint8)
+    lengths = np.asarray(lengths, np.int64)
+    out, totals = _encode_batch(jnp.asarray(blocks), jnp.asarray(lengths, jnp.int32))
+    out = np.asarray(out)
+    totals = np.asarray(totals)
+    payloads = []
+    for i in range(blocks.shape[0]):
+        n = int(lengths[i])
+        if n and blocks[i, :n].max(initial=0) >= 0x80:
+            payloads.append(blocks[i, :n].tobytes())
+        elif n == 0:
+            payloads.append(bytes([nyb_host.NYBBLES_TYPE]))
+        else:
+            payloads.append(out[i, : int(totals[i])].tobytes())
+    return payloads
+
+
+def nybble_decode_blocks(payloads: List[bytes], raw_lens: List[int]) -> List[bytes]:
+    """Device-parallel decode of framed nybble payloads."""
+    if not payloads:
+        return []
+    B = len(payloads)
+    P = max(max(len(p) - 1 for p in payloads), 1)
+    arr = np.zeros((B, P), np.uint8)
+    for i, p in enumerate(payloads):
+        if len(p) == 0 or p[0] != nyb_host.NYBBLES_TYPE:
+            raise ValueError(f"block {i}: bad nybble stream type byte")
+        body = np.frombuffer(p, np.uint8)[1:]
+        arr[i, : body.size] = body
+    rl = np.asarray(raw_lens, np.int32)
+    # Static scan length: round up so repeated calls share a compile.
+    S = max(_round_up(int(rl.max(initial=1)), 4096), 2)
+    outs = np.asarray(_decode_batch(jnp.asarray(arr), jnp.asarray(rl), S))
+    return [outs[i, : int(rl[i])].tobytes() for i in range(B)]

@@ -1,0 +1,34 @@
+"""CRC32 integrity checks for framed blocks.
+
+The reference has no checksums — only a comment sketching per-block
+checksums + ECC blocks (small_compression.c:911-931). We make per-block
+CRC32 a first-class part of the frame so corrupted blocks are detected
+and every block is an independently restartable unit (the
+checkpoint/resume analogue of the reference's blockwise streaming,
+n_ary_huffman.c:1210-1255).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+
+
+def crc32(data) -> int:
+    """CRC-32 (zlib polynomial) of bytes-like or uint8 ndarray."""
+    if isinstance(data, np.ndarray):
+        data = np.ascontiguousarray(data, dtype=np.uint8).tobytes()
+    return zlib.crc32(data) & 0xFFFFFFFF
+
+
+def crc32_blocks(blocks: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Per-row CRC32 of a [num_blocks, block_size] uint8 array.
+
+    ``lengths[i]`` gives the valid prefix of row i (the final block of a
+    stream is usually short).
+    """
+    out = np.empty(blocks.shape[0], dtype=np.uint32)
+    for i in range(blocks.shape[0]):
+        out[i] = crc32(blocks[i, : int(lengths[i])])
+    return out

@@ -1,0 +1,106 @@
+"""small (context-LZW) codecs: round-trips plus decoder parity with the
+reference's mock-encoder streams (small_compression.c:668-754)."""
+
+import numpy as np
+import pytest
+
+from data_compression_tpu import compress, decompress
+from data_compression_tpu.config import CodecConfig
+from data_compression_tpu.models.small import (
+    EIGHT_BIT_PRUNED,
+    small_byte_decode_host,
+    small_byte_encode_host,
+    small_nybble_decode_host,
+    small_nybble_encode_host,
+)
+
+REF_TEXT = (
+    b"Hello, world. "
+    b"This is a test. "
+    b"This is only a test. "
+    b"Banana banana banana banana. "
+)
+
+
+def _mock_byte_stream(text: bytes) -> bytes:
+    """Replicate test_compress_bytestring (small_compression.c:688-729):
+    hard-wired dictionary — ' '+lowercase pairs -> 0x80+letter, all else
+    literal."""
+    out = bytearray([EIGHT_BIT_PRUNED, text[0]])
+    i = 1
+    while i < len(text):
+        if (
+            text[i] == ord(" ")
+            and i + 1 < len(text)
+            and ord("a") <= text[i + 1] <= ord("z")
+        ):
+            out.append(0x80 + text[i + 1])
+            i += 2
+        else:
+            out.append(text[i])
+            i += 1
+    return bytes(out)
+
+
+def test_decoder_parity_with_reference_mock_stream():
+    # The reference decodes its mock stream back to the canned text
+    # ("Successful test", small_compression.c:1795-1803). Our decoder
+    # must agree on the same stream.
+    stream = _mock_byte_stream(REF_TEXT)
+    assert small_byte_decode_host(stream, len(REF_TEXT)) == REF_TEXT
+
+
+def test_byte_roundtrip_canned():
+    comp = small_byte_encode_host(REF_TEXT)
+    assert small_byte_decode_host(comp, len(REF_TEXT)) == REF_TEXT
+    # the real encoder must beat the mock (it finds repeats of
+    # "anana banana" etc.)
+    assert len(comp) < len(REF_TEXT)
+
+
+def test_byte_roundtrip_repetitive():
+    text = b"the cat sat on the mat. " * 40
+    comp = small_byte_encode_host(text)
+    assert small_byte_decode_host(comp, len(text)) == text
+    assert len(comp) < len(text) // 2
+
+
+def test_byte_roundtrip_random_ascii(text_1k):
+    comp = small_byte_encode_host(text_1k)
+    assert small_byte_decode_host(comp, len(text_1k)) == text_1k
+
+
+def test_byte_roundtrip_wraparound(rng):
+    # enough novel digrams to wrap the 127-slot dictionaries
+    data = bytes(rng.integers(1, 127, size=8000, dtype=np.uint8))
+    comp = small_byte_encode_host(data)
+    assert small_byte_decode_host(comp, len(data)) == data
+
+
+def test_nybble_roundtrip_canned():
+    comp = small_nybble_encode_host(REF_TEXT)
+    assert small_nybble_decode_host(comp, len(REF_TEXT)) == REF_TEXT
+
+
+def test_nybble_roundtrip_binary(rng):
+    # scheme B handles arbitrary bytes (words are nybble strings)
+    data = bytes(rng.integers(0, 256, size=3000, dtype=np.uint8))
+    comp = small_nybble_encode_host(data)
+    assert small_nybble_decode_host(comp, len(data)) == data
+
+
+def test_nybble_roundtrip_repetitive():
+    text = b"abcabcabcabc" * 50
+    comp = small_nybble_encode_host(text)
+    assert small_nybble_decode_host(comp, len(text)) == text
+    assert len(comp) < len(text)
+
+
+@pytest.mark.parametrize("codec", ["small_byte", "small_nybble"])
+def test_api_roundtrip(codec, rng):
+    from tests.conftest import ascii_text
+
+    data = ascii_text(rng, 8 * 1024)
+    cfg = CodecConfig(codec=codec, block_size=2048, chunk_syms=1024)
+    out = compress(data, cfg)
+    assert decompress(out) == data
