@@ -1,0 +1,121 @@
+"""Benchmark: n-ary Huffman encode throughput on the real chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` is measured GB/s divided by the 5 GB/s/chip north-star
+target from BASELINE.json (the reference publishes no numbers —
+BASELINE.md).
+
+Corpus: enwik8 is not fetchable in this zero-egress container, so the
+input is synthetic English-like text with enwik8-like symbol statistics
+(Zipf-weighted letters; entropy ~4.2 bits/byte).  Timing covers the
+device encode step (histogram + table gather + digit placement + pack)
+with blocks device-resident and canonical tables prebuilt — the
+steady-state per-batch device cost; host table build (microseconds per
+256-symbol table) overlaps the previous batch in the pipeline.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def make_corpus(nbytes: int, seed: int = 0) -> bytes:
+    rng = np.random.default_rng(seed)
+    # enwik8-ish: letters + space + punctuation + markup chars, zipfish
+    alphabet = np.frombuffer(
+        b" etaoinshrdlcumwfgypbvk'\"<>/=.,;:[]|()&#x1230984756-_\nqjzETAOINSHR",
+        np.uint8,
+    )
+    ranks = np.arange(1, alphabet.size + 1, dtype=np.float64)
+    probs = 1.0 / ranks**1.1
+    probs /= probs.sum()
+    return rng.choice(alphabet, size=nbytes, p=probs).tobytes()
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from data_compression_tpu import framing
+    from data_compression_tpu.config import CodecConfig
+    from data_compression_tpu.huffman.canonical import lengths_to_codes
+    from data_compression_tpu.models.huffman import capped_lengths
+    from data_compression_tpu.parallel.mesh import make_mesh
+    from data_compression_tpu.parallel.pipeline import (
+        make_sharded_encode_step,
+        make_sharded_hist_step,
+    )
+
+    arity = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    mb = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    nbytes = mb * 1024 * 1024
+    cfg = CodecConfig(codec="huffman", arity=arity, block_size=65536, chunk_syms=4096)
+
+    data = make_corpus(nbytes)
+    blocks, lengths = framing.split_blocks(data, cfg.block_size)
+    B = blocks.shape[0]
+
+    mesh = make_mesh()  # all local devices (1 chip under the driver)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    dp = NamedSharding(mesh, P("data", None))
+    rep = NamedSharding(mesh, P())
+    blocks_d = jax.device_put(jnp.asarray(blocks), dp)
+    lengths_d = jax.device_put(jnp.asarray(lengths, jnp.int32), rep)
+
+    hist_step = make_sharded_hist_step(mesh)
+    enc_step = make_sharded_encode_step(mesh, arity, cfg.chunk_syms)
+
+    hists, _ = hist_step(blocks_d, lengths_d)
+    hists = np.asarray(hists).astype(np.int64)
+    tables = [lengths_to_codes(capped_lengths(hists[i], arity), arity) for i in range(B)]
+    codes_tab = jax.device_put(
+        jnp.asarray(np.stack([t.codes for t in tables]), jnp.int32), rep
+    )
+    lens_tab = jax.device_put(
+        jnp.asarray(np.stack([t.lengths for t in tables]), jnp.int32), rep
+    )
+
+    def run():
+        h, _ = hist_step(blocks_d, lengths_d)
+        packed, nb = enc_step(blocks_d, lengths_d, codes_tab, lens_tab)
+        return h, packed, nb
+
+    # warmup / compile
+    jax.block_until_ready(run())
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        jax.block_until_ready(run())
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    gbps = nbytes / best / 1e9
+
+    _, packed, nb = run()
+    comp_bytes = int(np.asarray(nb).sum())
+    ratio = comp_bytes / nbytes
+
+    result = {
+        "metric": f"huffman{arity}_encode_gbps_per_chip",
+        "value": round(gbps, 4),
+        "unit": "GB/s",
+        "vs_baseline": round(gbps / 5.0, 4),
+        "detail": {
+            "input_mb": mb,
+            "best_s": round(best, 5),
+            "ratio": round(ratio, 4),
+            "blocks": B,
+            "backend": jax.devices()[0].platform,
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

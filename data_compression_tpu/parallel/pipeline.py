@@ -1,0 +1,321 @@
+"""Sharded compress/decompress pipeline (single- and multi-chip).
+
+The full device step — histogram, chunk reshape + resharding, encode,
+global histogram all-reduce — compiles as ONE pjit program over the
+mesh; XLA inserts the collectives (the all-reduce for the shared-table
+histogram rides ICI).  Canonical table *construction* stays on host
+(a 256-symbol heap problem, microseconds) and tables re-enter the step
+replicated — the broadcast BASELINE.json's north star calls for.
+
+Execution schedule (steady state, per batch of blocks):
+  1. device: per-block histograms  [all-parallel]
+  2. host:   canonical tables from histograms (or one shared table via
+             the jit-internal all-reduce in shared mode)
+  3. device: chunked encode -> (packed payloads, per-chunk lengths)
+  4. host:   exclusive prefix-sum of lengths -> exact framing offsets,
+             ordered payload assembly (the allgather-of-lengths design
+             from SURVEY.md §5).
+
+Steps 1/3 scale with devices; steps 2/4 are O(tables) and O(output
+bytes memcpy) on host.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from data_compression_tpu.config import ARITY_MAX_LEN, CodecConfig
+from data_compression_tpu.huffman.canonical import build_decode_tables, lengths_to_codes
+from data_compression_tpu.models.huffman import capped_lengths, _pack_payload
+from data_compression_tpu.ops.huffman_coding import (
+    decode_chunks,
+    encode_chunks,
+    max_chunk_bytes,
+)
+
+
+def make_sharded_hist_step(mesh: Mesh):
+    """jitted fn(blocks [B,S], lengths [B]) -> (hists [B,256],
+    global_hist [256]); the global sum is the mesh all-reduce of the
+    shared-table mode."""
+    dp = NamedSharding(mesh, P("data", None))
+    rep = NamedSharding(mesh, P())
+
+    def step(blocks, lengths):
+        B, S = blocks.shape
+        pos = jnp.arange(S)[None, :]
+        valid = pos < lengths[:, None]
+        flat = jnp.arange(B, dtype=jnp.int32)[:, None] * 256 + blocks.astype(jnp.int32)
+        flat = jnp.where(valid, flat, B * 256)
+        hists = (
+            jnp.zeros((B * 256 + 1,), jnp.int32)
+            .at[flat.reshape(-1)]
+            .add(1, mode="drop")[: B * 256]
+            .reshape(B, 256)
+        )
+        return hists, hists.sum(axis=0)
+
+    return jax.jit(step, in_shardings=(dp, rep), out_shardings=(rep, rep))
+
+
+def make_sharded_encode_step(mesh: Mesh, arity: int, chunk_syms: int):
+    """Returns jitted fn(blocks [B,S], lengths [B], codes_tab [B,256],
+    lens_tab [B,256]) -> (packed [N,mb], nbytes [N]).
+
+    blocks enter sharded over 'data'; chunks are resharded over
+    ('data','chunk') — on a 2-D mesh XLA emits the all-to-all.
+    """
+    C = chunk_syms
+    dp = NamedSharding(mesh, P("data", None))
+    cs = NamedSharding(mesh, P(("data", "chunk"), None))
+    rep = NamedSharding(mesh, P())
+
+    def step(blocks, lengths, codes_tab, lens_tab):
+        B, S = blocks.shape
+        ncb = S // C
+        syms = jax.lax.with_sharding_constraint(blocks.reshape(B * ncb, C), cs)
+        counts = jnp.clip(
+            lengths[:, None] - jnp.arange(ncb, dtype=lengths.dtype)[None, :] * C, 0, C
+        ).reshape(-1)
+        tbl_of_chunk = (
+            jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None], (B, ncb))
+        ).reshape(-1)
+        packed, nbytes, _ = encode_chunks(
+            syms, counts, codes_tab, lens_tab, tbl_of_chunk, arity=arity, chunk_syms=C
+        )
+        return packed, nbytes
+
+    return jax.jit(
+        step,
+        in_shardings=(dp, rep, rep, rep),
+        out_shardings=(cs, rep),
+    )
+
+
+def make_sharded_decode_step(mesh: Mesh, arity: int, chunk_syms: int):
+    cs = NamedSharding(mesh, P(("data", "chunk"), None))
+    rep = NamedSharding(mesh, P())
+
+    def step(payload, counts, limit, bmf, symtab, tbl_of_chunk):
+        return decode_chunks(
+            payload,
+            counts,
+            limit,
+            bmf,
+            symtab,
+            tbl_of_chunk,
+            arity=arity,
+            chunk_syms=chunk_syms,
+        )
+
+    return jax.jit(
+        step,
+        in_shardings=(cs, rep, rep, rep, rep, rep),
+        out_shardings=cs,
+    )
+
+
+# ----------------------------------------------------------------------
+# Host orchestration
+# ----------------------------------------------------------------------
+
+
+def _pad_blocks(blocks: np.ndarray, lengths: np.ndarray, multiple: int):
+    B = blocks.shape[0]
+    Bp = -(-max(B, 1) // multiple) * multiple
+    if Bp == B:
+        return blocks, lengths, B
+    pb = np.zeros((Bp, blocks.shape[1]), np.uint8)
+    pb[:B] = blocks
+    pl = np.zeros(Bp, lengths.dtype)
+    pl[:B] = lengths
+    return pb, pl, B
+
+
+def compress_sharded(
+    data: bytes,
+    config: CodecConfig,
+    mesh: Optional[Mesh] = None,
+) -> bytes:
+    """Multi-chip framed compression (huffman codec)."""
+    from data_compression_tpu import framing
+    from data_compression_tpu.utils.crc import crc32
+
+    assert config.codec == "huffman"
+    if mesh is None:
+        from data_compression_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+    C = config.chunk_syms
+    S = config.block_size
+    ncb = S // C
+
+    blocks, lengths = framing.split_blocks(data, S)
+    B_real = blocks.shape[0]
+    if B_real == 0:
+        return framing.pack_frame(
+            config.codec_id, config.arity, S, 0, [], [], [], [], None
+        )
+    blocks, lengths, _ = _pad_blocks(blocks, lengths, mesh.devices.size)
+    B = blocks.shape[0]
+
+    hist_step = make_sharded_hist_step(mesh)
+    step = make_sharded_encode_step(mesh, config.arity, C)
+    dp = NamedSharding(mesh, P("data", None))
+    rep = NamedSharding(mesh, P())
+    blocks_d = jax.device_put(jnp.asarray(blocks), dp)
+    lengths_d = jax.device_put(jnp.asarray(lengths, jnp.int32), rep)
+
+    hists, ghist = hist_step(blocks_d, lengths_d)
+    hists = np.asarray(hists).astype(np.int64)
+
+    if config.shared_table:
+        table = lengths_to_codes(
+            capped_lengths(np.asarray(ghist, np.int64), config.arity), config.arity
+        )
+        tables = [table] * B
+        shared_bytes = table.to_bytes()
+    else:
+        tables = [
+            lengths_to_codes(capped_lengths(hists[i], config.arity), config.arity)
+            for i in range(B)
+        ]
+        shared_bytes = None
+
+    codes_tab = jnp.asarray(np.stack([t.codes for t in tables]).astype(np.int32))
+    lens_tab = jnp.asarray(np.stack([t.lengths for t in tables]).astype(np.int32))
+    packed, nbytes = step(blocks_d, lengths_d, codes_tab, lens_tab)
+    packed = np.asarray(packed)  # ordered gather to host
+    nbytes = np.asarray(nbytes)
+
+    payloads, raw_lens, crcs, flags = [], [], [], []
+    for i in range(B_real):
+        raw_len = int(lengths[i])
+        nc_real = max(1, -(-raw_len // C))
+        chunks = [
+            packed[i * ncb + c, : int(nbytes[i * ncb + c])].tobytes()
+            for c in range(nc_real)
+        ]
+        tb = None if config.shared_table else tables[i].to_bytes()
+        payload = _pack_payload(tb, chunks)
+        raw = blocks[i, :raw_len].tobytes()
+        crcs.append(crc32(raw))
+        raw_lens.append(raw_len)
+        if len(payload) >= raw_len:
+            payloads.append(raw)
+            flags.append(framing.BLOCK_LITERAL)
+        else:
+            payloads.append(payload)
+            flags.append(0)
+
+    return framing.pack_frame(
+        config.codec_id,
+        config.arity,
+        S,
+        len(data),
+        payloads,
+        raw_lens,
+        crcs,
+        flags,
+        shared_table=shared_bytes,
+    )
+
+
+def decompress_sharded(
+    data: bytes,
+    config: Optional[CodecConfig] = None,
+    mesh: Optional[Mesh] = None,
+) -> bytes:
+    """Multi-chip framed decompression (huffman codec)."""
+    from data_compression_tpu import framing
+    from data_compression_tpu.models.huffman import _unpack_payload
+    from data_compression_tpu.utils.crc import crc32
+
+    if mesh is None:
+        from data_compression_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+    frame = framing.unpack_frame(data)
+    arity = frame.arity
+    C = config.chunk_syms if config else min(4096, frame.block_size)
+    mb = max_chunk_bytes(C, arity)
+
+    # Collect huffman-coded blocks (literal blocks pass through).
+    entries = frame.entries
+    out: List[Optional[bytes]] = [None] * len(entries)
+    flat_chunks: List[bytes] = []
+    flat_counts: List[int] = []
+    flat_tbl: List[int] = []
+    spans = []
+    tables = []
+    for i, e in enumerate(entries):
+        if e.is_literal:
+            out[i] = frame.payloads[i]
+            continue
+        tb, chunks = _unpack_payload(frame.payloads[i])
+        if tb is None:
+            tb = frame.shared_table
+            if tb is None:
+                raise ValueError("stream requires shared table")
+        ti = len(tables)
+        tables.append(
+            lengths_to_codes(np.frombuffer(tb, np.uint8).astype(np.int32), arity)
+        )
+        counts = [
+            max(0, min(C, e.raw_len - c * C)) for c in range(max(1, -(-e.raw_len // C)))
+        ]
+        if len(chunks) != len(counts):
+            raise ValueError("chunk count mismatch")
+        spans.append((i, len(flat_chunks), len(chunks), e.raw_len))
+        flat_chunks.extend(chunks)
+        flat_counts.extend(counts)
+        flat_tbl.extend([ti] * len(chunks))
+
+    if flat_chunks:
+        # Pad chunk count to the device count for even sharding.
+        N = len(flat_chunks)
+        Np = -(-N // mesh.devices.size) * mesh.devices.size
+        payload_arr = np.zeros((Np, mb), np.uint8)
+        for k, ch in enumerate(flat_chunks):
+            payload_arr[k, : len(ch)] = np.frombuffer(ch, np.uint8)
+        counts_arr = np.zeros(Np, np.int32)
+        counts_arr[:N] = flat_counts
+        tbl_arr = np.zeros(Np, np.int32)
+        tbl_arr[:N] = flat_tbl
+
+        dec = [build_decode_tables(t, pad_to=ARITY_MAX_LEN[arity]) for t in tables]
+        limit = np.stack([d["limit_scaled"] for d in dec]).astype(np.int32)
+        bmf = np.stack([d["base_minus_first"] for d in dec]).astype(np.int32)
+        symtab = np.stack([d["symbols"] for d in dec]).astype(np.int32)
+
+        step = make_sharded_decode_step(mesh, arity, C)
+        cs = NamedSharding(mesh, P(("data", "chunk"), None))
+        rep = NamedSharding(mesh, P())
+        syms = np.asarray(
+            step(
+                jax.device_put(jnp.asarray(payload_arr), cs),
+                jax.device_put(jnp.asarray(counts_arr), rep),
+                jax.device_put(jnp.asarray(limit), rep),
+                jax.device_put(jnp.asarray(bmf), rep),
+                jax.device_put(jnp.asarray(symtab), rep),
+                jax.device_put(jnp.asarray(tbl_arr), rep),
+            )
+        )
+        for i, start, nc, raw_len in spans:
+            out[i] = syms[start : start + nc].reshape(-1)[:raw_len].tobytes()
+
+    for i, e in enumerate(entries):
+        blk = out[i]
+        assert blk is not None
+        if len(blk) != e.raw_len or crc32(blk) != e.crc:
+            raise ValueError(f"block {i}: integrity check failed")
+    result = b"".join(out)  # ordered join
+    if len(result) != frame.total_len:
+        raise ValueError("total length mismatch")
+    return result

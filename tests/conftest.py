@@ -4,15 +4,20 @@ mechanism the driver uses for the multichip dry-run)."""
 
 import os
 
-# Must be set before jax is imported anywhere in the test process.
-# Force CPU even if the session exports JAX_PLATFORMS=<tpu>: tests must
-# be deterministic and run the virtual 8-device mesh.
+# Must be set before jax initializes a backend. Force CPU even though
+# the session's sitecustomize registers the axon TPU plugin and
+# overrides jax_platforms: tests must be deterministic and exercise the
+# virtual 8-device mesh.
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
