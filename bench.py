@@ -52,8 +52,9 @@ def main() -> int:
 
     arity = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     mb = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    chunk = int(sys.argv[3]) if len(sys.argv) > 3 else 1024
     nbytes = mb * 1024 * 1024
-    cfg = CodecConfig(codec="huffman", arity=arity, block_size=65536, chunk_syms=4096)
+    cfg = CodecConfig(codec="huffman", arity=arity, block_size=65536, chunk_syms=chunk)
 
     data = make_corpus(nbytes)
     blocks, lengths = framing.split_blocks(data, cfg.block_size)
@@ -70,19 +71,18 @@ def main() -> int:
     hist_step = make_sharded_hist_step(mesh)
     enc_step = make_sharded_encode_step(mesh, arity, cfg.chunk_syms)
 
+    from data_compression_tpu.ops.encode_fast import pack_encode_table
+
     hists, _ = hist_step(blocks_d, lengths_d)
     hists = np.asarray(hists).astype(np.int64)
     tables = [lengths_to_codes(capped_lengths(hists[i], arity), arity) for i in range(B)]
-    codes_tab = jax.device_put(
-        jnp.asarray(np.stack([t.codes for t in tables]), jnp.int32), rep
-    )
-    lens_tab = jax.device_put(
-        jnp.asarray(np.stack([t.lengths for t in tables]), jnp.int32), rep
-    )
+    pt, bt = zip(*[pack_encode_table(t) for t in tables])
+    packed_tab = jax.device_put(jnp.asarray(np.stack(pt)), rep)
+    bits_tab = jax.device_put(jnp.asarray(np.stack(bt)), rep)
 
     def run():
         h, _ = hist_step(blocks_d, lengths_d)
-        packed, nb = enc_step(blocks_d, lengths_d, codes_tab, lens_tab)
+        packed, nb = enc_step(blocks_d, lengths_d, packed_tab, bits_tab)
         return h, packed, nb
 
     # warmup / compile

@@ -233,7 +233,10 @@ class HuffmanCodec(Codec):
     def _encode_device(self, blocks, lengths, tables) -> List[List[bytes]]:
         import jax.numpy as jnp
 
-        from data_compression_tpu.ops.huffman_coding import encode_chunks
+        from data_compression_tpu.ops.encode_fast import (
+            encode_chunks_fast,
+            pack_encode_table,
+        )
 
         B, S = blocks.shape
         C = self.config.chunk_syms
@@ -244,14 +247,20 @@ class HuffmanCodec(Codec):
             np.asarray(lengths)[:, None] - np.arange(ncb)[None, :] * C, 0, C
         ).reshape(-1)
         tbl_of_chunk = np.repeat(np.arange(B, dtype=np.int32), ncb)
-        codes_tab = np.stack([t.codes for t in tables]).astype(np.int32)
-        lens_tab = np.stack([t.lengths for t in tables]).astype(np.int32)
+        cache = {}
 
-        packed, nbytes, _ = encode_chunks(
+        def _pk(t):
+            if id(t) not in cache:
+                cache[id(t)] = pack_encode_table(t)
+            return cache[id(t)]
+
+        pt, bt = zip(*[_pk(t) for t in tables])
+
+        packed, nbytes, _ = encode_chunks_fast(
             jnp.asarray(syms),
             jnp.asarray(counts, jnp.int32),
-            jnp.asarray(codes_tab),
-            jnp.asarray(lens_tab),
+            jnp.asarray(np.stack(pt)),
+            jnp.asarray(np.stack(bt)),
             jnp.asarray(tbl_of_chunk),
             arity=arity,
             chunk_syms=C,

@@ -164,11 +164,16 @@ class NybbleCodec(Codec):
             from data_compression_tpu.ops.scan_codecs import nybble_encode_blocks
 
             return EncodeResult(payloads=nybble_encode_blocks(blocks, lengths))
+        from data_compression_tpu import native
+
+        use_native = native.load() is not None
         payloads = []
         for i in range(blocks.shape[0]):
             raw = blocks[i, : int(lengths[i])]
             if raw.size and raw.max(initial=0) >= 0x80:
                 payloads.append(raw.tobytes())  # force LITERAL fallback
+            elif use_native:
+                payloads.append(native.nybble_encode(raw.tobytes()))
             else:
                 payloads.append(encode_host(raw.tobytes()))
         return EncodeResult(payloads=payloads)
@@ -183,4 +188,10 @@ class NybbleCodec(Codec):
             from data_compression_tpu.ops.scan_codecs import nybble_decode_blocks
 
             return nybble_decode_blocks(payloads, raw_lens)
+        from data_compression_tpu import native
+
+        if native.load() is not None:
+            return [
+                native.nybble_decode(p, r) for p, r in zip(payloads, raw_lens)
+            ]
         return [decode_host(p, r) for p, r in zip(payloads, raw_lens)]

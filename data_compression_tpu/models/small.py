@@ -344,16 +344,27 @@ class SmallByteCodec(Codec):
     name = "small_byte"
 
     def encode_blocks(self, blocks: np.ndarray, lengths: np.ndarray) -> EncodeResult:
+        from data_compression_tpu import native
+
+        use_native = native.load() is not None
         payloads = []
         for i in range(blocks.shape[0]):
             raw = blocks[i, : int(lengths[i])]
             if raw.size and raw.max(initial=0) >= 0x80:
                 payloads.append(raw.tobytes())
+            elif use_native:
+                payloads.append(native.small_byte_encode(raw.tobytes()))
             else:
                 payloads.append(small_byte_encode_host(raw.tobytes()))
         return EncodeResult(payloads=payloads)
 
     def decode_blocks(self, payloads, raw_lens, shared_table=None):
+        from data_compression_tpu import native
+
+        if native.load() is not None:
+            return [
+                native.small_byte_decode(p, r) for p, r in zip(payloads, raw_lens)
+            ]
         return [small_byte_decode_host(p, r) for p, r in zip(payloads, raw_lens)]
 
 

@@ -1,0 +1,152 @@
+"""ctypes bindings for the native CPU runtime (libdctpu.c).
+
+Builds lazily with the system compiler on first use (no pip deps; the
+environment bans installs and pybind11 is unavailable, so the binding
+layer is plain ctypes per SURVEY.md §2.5).  Falls back gracefully: all
+callers must treat ``load() is None`` as "use the pure-Python path".
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+_HERE = os.path.dirname(__file__)
+_SRC = os.path.join(_HERE, "libdctpu.c")
+_SO = os.path.join(_HERE, "libdctpu.so")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    cmd = [
+        "cc",
+        "-O3",
+        "-march=native",
+        "-shared",
+        "-fPIC",
+        "-o",
+        _SO,
+        _SRC,
+    ]
+    try:
+        r = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
+        return r.returncode == 0
+    except Exception:
+        return False
+
+
+def load() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the native library, or None."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if _tried:
+            return None
+        _tried = True
+        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            return None
+        i64 = ctypes.c_int64
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.dct_crc32.restype = ctypes.c_uint32
+        lib.dct_crc32.argtypes = [u8p, i64, ctypes.c_uint32]
+        lib.dct_nybble_encode.restype = i64
+        lib.dct_nybble_encode.argtypes = [u8p, i64, u8p, i64]
+        lib.dct_nybble_decode.restype = i64
+        lib.dct_nybble_decode.argtypes = [u8p, i64, u8p, i64]
+        lib.dct_small_byte_encode.restype = i64
+        lib.dct_small_byte_encode.argtypes = [u8p, i64, u8p, i64]
+        lib.dct_small_byte_decode.restype = i64
+        lib.dct_small_byte_decode.argtypes = [u8p, i64, u8p, i64]
+        lib.dct_huffman_encode_chunk.restype = i64
+        lib.dct_huffman_encode_chunk.argtypes = [
+            u8p,
+            i64,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_int32),
+            u8p,
+            i64,
+        ]
+        lib.dct_huffman_decode_chunk.restype = i64
+        lib.dct_huffman_decode_chunk.argtypes = [
+            u8p,
+            i64,
+            i64,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+            u8p,
+        ]
+        _lib = lib
+        return _lib
+
+
+def _buf(b: bytes):
+    return (ctypes.c_uint8 * len(b)).from_buffer_copy(b) if b else (ctypes.c_uint8 * 1)()
+
+
+def nybble_encode(src: bytes) -> Optional[bytes]:
+    lib = load()
+    if lib is None:
+        return None
+    cap = 2 * len(src) + 16
+    out = (ctypes.c_uint8 * cap)()
+    n = lib.dct_nybble_encode(_buf(src), len(src), out, cap)
+    if n < 0:
+        raise ValueError(f"native nybble encode error {n}")
+    return bytes(out[:n])
+
+
+def nybble_decode(payload: bytes, raw_len: int) -> Optional[bytes]:
+    lib = load()
+    if lib is None:
+        return None
+    out = (ctypes.c_uint8 * max(raw_len, 1))()
+    n = lib.dct_nybble_decode(_buf(payload), len(payload), out, raw_len)
+    if n < 0:
+        raise ValueError(f"native nybble decode error {n}")
+    return bytes(out[:n])
+
+
+def small_byte_encode(src: bytes) -> Optional[bytes]:
+    lib = load()
+    if lib is None:
+        return None
+    cap = 2 * len(src) + 16
+    out = (ctypes.c_uint8 * cap)()
+    n = lib.dct_small_byte_encode(_buf(src), len(src), out, cap)
+    if n < 0:
+        raise ValueError(f"native small_byte encode error {n}")
+    return bytes(out[:n])
+
+
+def small_byte_decode(payload: bytes, raw_len: int) -> Optional[bytes]:
+    lib = load()
+    if lib is None:
+        return None
+    out = (ctypes.c_uint8 * max(raw_len, 1))()
+    n = lib.dct_small_byte_decode(_buf(payload), len(payload), out, raw_len)
+    if n < 0:
+        raise ValueError(f"native small_byte decode error {n}")
+    return bytes(out[:n])
+
+
+def crc32(data: bytes, seed: int = 0) -> Optional[int]:
+    lib = load()
+    if lib is None:
+        return None
+    return int(lib.dct_crc32(_buf(data), len(data), seed))

@@ -1,0 +1,410 @@
+/* libdctpu — native CPU runtime for data_compression_tpu.
+ *
+ * Our own C implementations of the framework's codec cores (written to
+ * this framework's wire spec — NOT copied from /root/reference; the
+ * reference is cited for behavioral parity only):
+ *
+ *   - 16-context MTF nybble codec, bit-exact with
+ *     nybble_compression.c's scheme (spec at :9-31) and with
+ *     models/nybble.py;
+ *   - context byte-LZW (small_compression.c scheme A semantics, with
+ *     the same three fixes documented in models/small.py);
+ *   - canonical n-ary Huffman chunk encode/decode on the framework's
+ *     wire format (little-endian digit fields; 8 bits / 5 trits /
+ *     2 nybbles per byte);
+ *   - CRC32 (zlib polynomial, slice-by-4).
+ *
+ * Exposed with a plain C ABI for ctypes (data_compression_tpu/native).
+ * All functions return the number of bytes produced, or a negative
+ * error code.
+ */
+
+#include <stdint.h>
+#include <string.h>
+
+#define DCT_ERR_INPUT (-1)
+#define DCT_ERR_CAPACITY (-2)
+#define DCT_ERR_FORMAT (-3)
+
+/* ------------------------------------------------------------------ */
+/* CRC32 (zlib polynomial 0xEDB88320), slice-by-4                      */
+/* ------------------------------------------------------------------ */
+
+static uint32_t crc_tab[4][256];
+static int crc_init_done = 0;
+
+static void crc_init(void) {
+    if (crc_init_done) return;
+    for (int i = 0; i < 256; i++) {
+        uint32_t c = (uint32_t)i;
+        for (int k = 0; k < 8; k++)
+            c = (c & 1) ? 0xEDB88320u ^ (c >> 1) : c >> 1;
+        crc_tab[0][i] = c;
+    }
+    for (int i = 0; i < 256; i++) {
+        uint32_t c = crc_tab[0][i];
+        for (int s = 1; s < 4; s++) {
+            c = crc_tab[0][c & 0xFF] ^ (c >> 8);
+            crc_tab[s][i] = c;
+        }
+    }
+    crc_init_done = 1;
+}
+
+uint32_t dct_crc32(const uint8_t *p, int64_t n, uint32_t seed) {
+    crc_init();
+    uint32_t c = seed ^ 0xFFFFFFFFu;
+    while (n >= 4) {
+        c ^= (uint32_t)p[0] | ((uint32_t)p[1] << 8) | ((uint32_t)p[2] << 16) |
+             ((uint32_t)p[3] << 24);
+        c = crc_tab[3][c & 0xFF] ^ crc_tab[2][(c >> 8) & 0xFF] ^
+            crc_tab[1][(c >> 16) & 0xFF] ^ crc_tab[0][c >> 24];
+        p += 4;
+        n -= 4;
+    }
+    while (n--) c = crc_tab[0][(c ^ *p++) & 0xFF] ^ (c >> 8);
+    return c ^ 0xFFFFFFFFu;
+}
+
+/* ------------------------------------------------------------------ */
+/* Nybble MTF codec (nybble_compression.c scheme; see models/nybble.py)*/
+/* ------------------------------------------------------------------ */
+
+#define NYB_TYPE 0xAF
+
+typedef struct {
+    uint8_t row[16][8];
+} nyb_table;
+
+static void nyb_init(nyb_table *t) {
+    static const uint8_t seed[8] = {' ', 'e', 't', 'a', 'o', 'i', 'n', 's'};
+    for (int c = 0; c < 16; c++) memcpy(t->row[c], seed, 8);
+}
+
+static inline int nyb_ctx(uint8_t b) { return (b >> 3) & 15; }
+
+static inline void nyb_mtf(nyb_table *t, int ctx, uint8_t byte) {
+    uint8_t *row = t->row[ctx];
+    uint8_t nw = byte;
+    for (int pos = 0; pos < 8; pos++) {
+        uint8_t old = row[pos];
+        row[pos] = nw;
+        nw = old;
+        if (nw == byte) break;
+    }
+}
+
+int64_t dct_nybble_encode(const uint8_t *src, int64_t n, uint8_t *dst,
+                          int64_t cap) {
+    if (cap < 2) return DCT_ERR_CAPACITY;
+    int64_t o = 0;
+    dst[o++] = NYB_TYPE;
+    if (n == 0) return o;
+    dst[o++] = src[0];
+    nyb_table t;
+    nyb_init(&t);
+    int pending = -1;
+    for (int64_t i = 1; i < n; i++) {
+        uint8_t p = src[i - 1], s = src[i];
+        if ((p | s) & 0x80) return DCT_ERR_INPUT;
+        int ctx = nyb_ctx(p);
+        const uint8_t *row = t.row[ctx];
+        int pos = -1;
+        for (int k = 0; k < 8; k++)
+            if (row[k] == s) { pos = k; break; }
+        if (o + 2 > cap) return DCT_ERR_CAPACITY;
+        if (pos >= 0) {
+            int nyb = 0x8 | pos;
+            if (pending < 0) pending = nyb;
+            else { dst[o++] = (uint8_t)((pending << 4) | nyb); pending = -1; }
+        } else {
+            if (pending < 0) dst[o++] = s;
+            else { dst[o++] = p; dst[o++] = s; pending = -1; }
+        }
+        nyb_mtf(&t, ctx, s);
+    }
+    if (pending >= 0) {
+        if (o >= cap) return DCT_ERR_CAPACITY;
+        dst[o++] = src[n - 1];
+    }
+    return o;
+}
+
+int64_t dct_nybble_decode(const uint8_t *payload, int64_t plen, uint8_t *dst,
+                          int64_t raw_len) {
+    if (raw_len == 0) return 0;
+    if (plen < 2 || payload[0] != NYB_TYPE) return DCT_ERR_FORMAT;
+    dst[0] = payload[1];
+    const uint8_t *data = payload + 2;
+    int64_t dlen = plen - 2;
+    nyb_table t;
+    nyb_init(&t);
+    int64_t out = 1;
+    int64_t j = 0;
+    while (out < raw_len) {
+        int64_t bi = j >> 1;
+        if (bi >= dlen) return DCT_ERR_FORMAT;
+        int nyb = (j & 1) ? (payload[2 + bi] & 0xF) : ((payload[2 + bi] >> 4) & 0xF);
+        uint8_t o;
+        int used;
+        if (nyb & 0x8) {
+            o = t.row[nyb_ctx(dst[out - 1])][nyb & 0x7];
+            used = 1;
+        } else {
+            int64_t j2 = j + 1, b2 = j2 >> 1;
+            if (b2 >= dlen) return DCT_ERR_FORMAT;
+            int nxt = (j2 & 1) ? (data[b2] & 0xF) : ((data[b2] >> 4) & 0xF);
+            o = (uint8_t)(((nyb & 0x7) << 4) | nxt);
+            used = 2;
+        }
+        nyb_mtf(&t, nyb_ctx(dst[out - 1]), o);
+        dst[out++] = o;
+        j += used;
+    }
+    return out;
+}
+
+/* ------------------------------------------------------------------ */
+/* Context byte-LZW (small_compression.c scheme A; see models/small.py)*/
+/* ------------------------------------------------------------------ */
+
+#define SB_TYPE 8
+#define SB_CTX 32
+#define SB_SLOTS 0x7F
+#define SB_MAXWORD 256
+
+typedef struct {
+    int32_t prefix[SB_CTX][SB_SLOTS];
+    uint8_t letter[SB_CTX][SB_SLOTS];
+    int32_t nwi[SB_CTX];
+} sb_dict;
+
+static void sb_init(sb_dict *d) {
+    for (int c = 0; c < SB_CTX; c++) {
+        for (int i = 0; i < SB_SLOTS; i++) {
+            d->prefix[c][i] = ' ';
+            d->letter[c][i] = (uint8_t)(i ? i : 'x');
+        }
+        d->nwi[c] = 0;
+    }
+}
+
+static inline int sb_ctx(uint8_t b) { return b & (SB_CTX - 1); }
+
+static int sb_first_byte(const sb_dict *d, int ctx, int idx) {
+    int steps = 0;
+    while (idx & 0x80) {
+        idx = d->prefix[ctx][idx - 0x80];
+        if (++steps > SB_MAXWORD) return DCT_ERR_FORMAT;
+    }
+    return idx;
+}
+
+static int sb_decode_word(const sb_dict *d, int ctx, int idx, uint8_t *out) {
+    uint8_t rev[SB_MAXWORD + 1];
+    int i = 0;
+    while (idx & 0x80) {
+        rev[i++] = d->letter[ctx][idx - 0x80];
+        idx = d->prefix[ctx][idx - 0x80];
+        if (i > SB_MAXWORD) return DCT_ERR_FORMAT;
+    }
+    if (idx != 0) rev[i++] = (uint8_t)idx;
+    for (int k = 0; k < i; k++) out[k] = rev[i - 1 - k];
+    return i;
+}
+
+static int sb_update(sb_dict *d, int pctx, int pidx, int ctx, int idx) {
+    int tochange = d->nwi[pctx];
+    int fb;
+    if (idx == 0x80 + tochange && ctx == pctx)
+        fb = sb_first_byte(d, pctx, pidx); /* LZW special case */
+    else
+        fb = sb_first_byte(d, ctx, idx);
+    if (fb < 0) return fb;
+    d->prefix[pctx][tochange] = pidx;
+    d->letter[pctx][tochange] = (uint8_t)fb;
+    d->nwi[pctx] = (tochange + 1) % SB_SLOTS;
+    return 0;
+}
+
+int64_t dct_small_byte_encode(const uint8_t *src, int64_t n, uint8_t *dst,
+                              int64_t cap) {
+    if (cap < 2) return DCT_ERR_CAPACITY;
+    int64_t o = 0;
+    dst[o++] = SB_TYPE;
+    if (n == 0) return o;
+    dst[o++] = src[0];
+    sb_dict d;
+    sb_init(&d);
+    int pctx = sb_ctx(' ');
+    int pidx = src[0];
+    int64_t pos = 1;
+    while (pos < n) {
+        if (src[pos] & 0x80 || src[pos - 1] & 0x80) return DCT_ERR_INPUT;
+        int ctx = sb_ctx(src[pos - 1]);
+        int banned = (ctx == pctx) ? d.nwi[pctx] : -1;
+        int idx = src[pos];
+        int len = 1;
+        while (pos + len < n && len < SB_MAXWORD - 1) {
+            uint8_t c = src[pos + len];
+            int w = -1;
+            for (int s = 0; s < SB_SLOTS; s++) {
+                if (d.prefix[ctx][s] == idx && d.letter[ctx][s] == c && s != banned) {
+                    w = s;
+                    break;
+                }
+            }
+            if (w < 0) break;
+            idx = 0x80 + w;
+            len++;
+        }
+        if (o >= cap) return DCT_ERR_CAPACITY;
+        dst[o++] = (uint8_t)idx;
+        if (sb_update(&d, pctx, pidx, ctx, idx) < 0) return DCT_ERR_FORMAT;
+        pos += len;
+        pctx = ctx;
+        pidx = idx;
+    }
+    return o;
+}
+
+int64_t dct_small_byte_decode(const uint8_t *payload, int64_t plen,
+                              uint8_t *dst, int64_t raw_len) {
+    if (raw_len == 0) return 0;
+    if (plen < 2 || payload[0] != SB_TYPE) return DCT_ERR_FORMAT;
+    dst[0] = payload[1];
+    sb_dict d;
+    sb_init(&d);
+    int pctx = sb_ctx(' ');
+    int pidx = payload[1];
+    int64_t out = 1;
+    int64_t i = 2;
+    while (out < raw_len) {
+        if (i >= plen) return DCT_ERR_FORMAT;
+        int idx = payload[i++];
+        int ctx = sb_ctx(dst[out - 1]);
+        if (sb_update(&d, pctx, pidx, ctx, idx) < 0) return DCT_ERR_FORMAT;
+        uint8_t word[SB_MAXWORD + 1];
+        int wl = sb_decode_word(&d, ctx, idx, word);
+        if (wl < 0) return DCT_ERR_FORMAT;
+        if (out + wl > raw_len) return DCT_ERR_FORMAT;
+        memcpy(dst + out, word, (size_t)wl);
+        out += wl;
+        pctx = ctx;
+        pidx = idx;
+    }
+    return out;
+}
+
+/* ------------------------------------------------------------------ */
+/* Canonical n-ary Huffman chunk encode/decode (framework wire format) */
+/* ------------------------------------------------------------------ */
+
+static const int DPB[17] = {0, 0, 8, 5, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 2};
+
+/* Encode one chunk. packed/bits: per-symbol little-endian field codes
+ * (ops/encode_fast.pack_encode_table layout). bpd: 1/2/4.  Returns
+ * bytes written. */
+int64_t dct_huffman_encode_chunk(const uint8_t *syms, int64_t n, int arity,
+                                 const uint32_t *packed, const int32_t *bits,
+                                 uint8_t *dst, int64_t cap) {
+    int bpd = arity == 2 ? 1 : (arity == 3 ? 2 : 4);
+    int dpb = DPB[arity];
+    if (!dpb) return DCT_ERR_INPUT;
+    if (arity == 3) {
+        /* digit stream -> 5 trits per byte */
+        int64_t o = 0;
+        int fill = 0;
+        int mul = 1;
+        int acc = 0;
+        for (int64_t i = 0; i < n; i++) {
+            uint32_t w = packed[syms[i]];
+            int nb = bits[syms[i]] / bpd;
+            for (int m = 0; m < nb; m++) {
+                int digit = (int)((w >> (2 * m)) & 3);
+                acc += digit * mul;
+                mul *= 3;
+                if (++fill == 5) {
+                    if (o >= cap) return DCT_ERR_CAPACITY;
+                    dst[o++] = (uint8_t)acc;
+                    acc = 0; mul = 1; fill = 0;
+                }
+            }
+        }
+        if (fill) {
+            if (o >= cap) return DCT_ERR_CAPACITY;
+            dst[o++] = (uint8_t)acc;
+        }
+        return o;
+    }
+    /* bit-field codecs (n=2: 1 bit, n=16: 4 bits) pack directly */
+    uint64_t buf = 0;
+    int nb = 0;
+    int64_t o = 0;
+    for (int64_t i = 0; i < n; i++) {
+        buf |= (uint64_t)packed[syms[i]] << nb;
+        nb += bits[syms[i]];
+        while (nb >= 8) {
+            if (o >= cap) return DCT_ERR_CAPACITY;
+            dst[o++] = (uint8_t)(buf & 0xFF);
+            buf >>= 8;
+            nb -= 8;
+        }
+    }
+    if (nb) {
+        if (o >= cap) return DCT_ERR_CAPACITY;
+        dst[o++] = (uint8_t)(buf & 0xFF);
+    }
+    return o;
+}
+
+/* Decode one chunk of `count` symbols.  Tables are the scaled decode
+ * tables (huffman/canonical.build_decode_tables): limit_scaled and
+ * base_minus_first indexed by length 1..L, symbols by canonical rank.
+ * L = padded max length (15 or 7). */
+int64_t dct_huffman_decode_chunk(const uint8_t *payload, int64_t plen,
+                                 int64_t count, int arity, int L,
+                                 const int64_t *limit_scaled,
+                                 const int64_t *base_minus_first,
+                                 const int32_t *symbols, uint8_t *out) {
+    int dpb = DPB[arity];
+    if (!dpb) return DCT_ERR_INPUT;
+    /* unpack digits (little-endian within byte) */
+    int64_t ndig = plen * dpb;
+    /* digit fetch helper */
+    int64_t off = 0;
+    int64_t npl = 1;
+    for (int i = 0; i < L; i++) npl *= arity;
+    for (int64_t i = 0; i < count; i++) {
+        /* window value of L digits, MSB-first */
+        int64_t w = 0;
+        for (int k = 0; k < L; k++) {
+            int64_t j = off + k;
+            int d = 0;
+            if (j < ndig) {
+                int b = payload[j / dpb];
+                switch (arity) {
+                    case 2: d = (b >> (j % 8)) & 1; break;
+                    case 3: {
+                        int t = b;
+                        for (int q = 0; q < j % 5; q++) t /= 3;
+                        d = t % 3;
+                        break;
+                    }
+                    default: d = (b >> (4 * (j % 2))) & 0xF; break;
+                }
+            }
+            w = w * arity + d;
+        }
+        int ln = 1;
+        while (ln <= L && w >= limit_scaled[ln]) ln++;
+        if (ln > L) return DCT_ERR_FORMAT;
+        int64_t scale = npl;
+        for (int q = 0; q < ln; q++) scale /= arity;
+        int64_t value = w / scale;
+        int64_t sidx = base_minus_first[ln] + value;
+        out[i] = (uint8_t)symbols[sidx];
+        off += ln;
+    }
+    return count;
+}

@@ -21,16 +21,28 @@ import jax.numpy as jnp
 
 @functools.partial(jax.jit, static_argnames=())
 def block_histograms(blocks: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
-    """[B, S] uint8 + [B] valid lengths -> [B, 256] int32 counts."""
+    """[B, S] uint8 + [B] valid lengths -> [B, 256] int32 counts.
+
+    Formulated as a one-hot matmul so the MXU does the counting
+    (TPU scatter-add serializes; compare+dot streams).  The sum of a
+    [S] one-hot slab in f32 is exact for S < 2^24.
+    """
     B, S = blocks.shape
     pos = jnp.arange(S)[None, :]
     valid = pos < lengths[:, None]
-    flat_bins = jnp.arange(B, dtype=jnp.int32)[:, None] * 256 + blocks.astype(jnp.int32)
-    flat_bins = jnp.where(valid, flat_bins, B * 256)  # dropped
-    hist = jnp.zeros((B * 256 + 1,), jnp.int32).at[flat_bins.reshape(-1)].add(
-        1, mode="drop"
+    b = jnp.where(valid, blocks.astype(jnp.int32), -1)
+    onehot = (b[:, :, None] == jnp.arange(256, dtype=jnp.int32)[None, None, :]).astype(
+        jnp.bfloat16
     )
-    return hist[: B * 256].reshape(B, 256)
+    ones = jnp.ones((1, S), jnp.bfloat16)
+    # [B, 1, S] @ [B, S, 256] -> [B, 1, 256]
+    h = jax.lax.dot_general(
+        jnp.broadcast_to(ones, (B, 1, S)),
+        onehot,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    return h[:, 0, :].astype(jnp.int32)
 
 
 def global_histogram(blocks: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:

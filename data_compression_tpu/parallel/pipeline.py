@@ -47,36 +47,32 @@ def make_sharded_hist_step(mesh: Mesh):
     dp = NamedSharding(mesh, P("data", None))
     rep = NamedSharding(mesh, P())
 
+    from data_compression_tpu.ops.histogram import block_histograms
+
     def step(blocks, lengths):
-        B, S = blocks.shape
-        pos = jnp.arange(S)[None, :]
-        valid = pos < lengths[:, None]
-        flat = jnp.arange(B, dtype=jnp.int32)[:, None] * 256 + blocks.astype(jnp.int32)
-        flat = jnp.where(valid, flat, B * 256)
-        hists = (
-            jnp.zeros((B * 256 + 1,), jnp.int32)
-            .at[flat.reshape(-1)]
-            .add(1, mode="drop")[: B * 256]
-            .reshape(B, 256)
-        )
+        hists = block_histograms(blocks, lengths)
         return hists, hists.sum(axis=0)
 
     return jax.jit(step, in_shardings=(dp, rep), out_shardings=(rep, rep))
 
 
 def make_sharded_encode_step(mesh: Mesh, arity: int, chunk_syms: int):
-    """Returns jitted fn(blocks [B,S], lengths [B], codes_tab [B,256],
-    lens_tab [B,256]) -> (packed [N,mb], nbytes [N]).
+    """Returns jitted fn(blocks [B,S], lengths [B], packed_tab [B,256]
+    uint32, bits_tab [B,256] int32) -> (packed [N,mb], nbytes [N]).
 
-    blocks enter sharded over 'data'; chunks are resharded over
-    ('data','chunk') — on a 2-D mesh XLA emits the all-to-all.
+    Tables are the pre-packed bit-field form (ops/encode_fast.
+    pack_encode_table).  blocks enter sharded over 'data'; chunks are
+    resharded over ('data','chunk') — on a 2-D mesh XLA emits the
+    all-to-all.
     """
+    from data_compression_tpu.ops.encode_fast import encode_chunks_fast
+
     C = chunk_syms
     dp = NamedSharding(mesh, P("data", None))
     cs = NamedSharding(mesh, P(("data", "chunk"), None))
     rep = NamedSharding(mesh, P())
 
-    def step(blocks, lengths, codes_tab, lens_tab):
+    def step(blocks, lengths, packed_tab, bits_tab):
         B, S = blocks.shape
         ncb = S // C
         syms = jax.lax.with_sharding_constraint(blocks.reshape(B * ncb, C), cs)
@@ -86,8 +82,8 @@ def make_sharded_encode_step(mesh: Mesh, arity: int, chunk_syms: int):
         tbl_of_chunk = (
             jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None], (B, ncb))
         ).reshape(-1)
-        packed, nbytes, _ = encode_chunks(
-            syms, counts, codes_tab, lens_tab, tbl_of_chunk, arity=arity, chunk_syms=C
+        packed, nbytes, _ = encode_chunks_fast(
+            syms, counts, packed_tab, bits_tab, tbl_of_chunk, arity=arity, chunk_syms=C
         )
         return packed, nbytes
 
@@ -188,9 +184,19 @@ def compress_sharded(
         ]
         shared_bytes = None
 
-    codes_tab = jnp.asarray(np.stack([t.codes for t in tables]).astype(np.int32))
-    lens_tab = jnp.asarray(np.stack([t.lengths for t in tables]).astype(np.int32))
-    packed, nbytes = step(blocks_d, lengths_d, codes_tab, lens_tab)
+    from data_compression_tpu.ops.encode_fast import pack_encode_table
+
+    _pk_cache = {}
+
+    def _pk(t):
+        if id(t) not in _pk_cache:  # shared mode reuses one table object
+            _pk_cache[id(t)] = pack_encode_table(t)
+        return _pk_cache[id(t)]
+
+    pt, bt = zip(*[_pk(t) for t in tables])
+    packed_tab = jnp.asarray(np.stack(pt))
+    bits_tab = jnp.asarray(np.stack(bt))
+    packed, nbytes = step(blocks_d, lengths_d, packed_tab, bits_tab)
     packed = np.asarray(packed)  # ordered gather to host
     nbytes = np.asarray(nbytes)
 
