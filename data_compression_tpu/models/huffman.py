@@ -318,10 +318,10 @@ class HuffmanCodec(Codec):
     def _decode_device(self, parsed, raw_lens, tables) -> List[bytes]:
         import jax.numpy as jnp
 
-        from data_compression_tpu.ops.huffman_coding import (
-            decode_chunks,
-            max_chunk_bytes,
+        from data_compression_tpu.ops.decode_fast import (
+            decode_chunks_fast as decode_chunks,
         )
+        from data_compression_tpu.ops.huffman_coding import max_chunk_bytes
 
         C = self.config.chunk_syms
         arity = self.config.arity

@@ -95,11 +95,13 @@ def make_sharded_encode_step(mesh: Mesh, arity: int, chunk_syms: int):
 
 
 def make_sharded_decode_step(mesh: Mesh, arity: int, chunk_syms: int):
+    from data_compression_tpu.ops.decode_fast import decode_chunks_fast
+
     cs = NamedSharding(mesh, P(("data", "chunk"), None))
     rep = NamedSharding(mesh, P())
 
     def step(payload, counts, limit, bmf, symtab, tbl_of_chunk):
-        return decode_chunks(
+        return decode_chunks_fast(
             payload,
             counts,
             limit,
