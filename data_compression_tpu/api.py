@@ -49,6 +49,9 @@ def compress(data: BytesLike, config: Optional[CodecConfig] = None) -> bytes:
             payloads.append(payload)
             flags.append(0)
 
+    chunk_log2 = (
+        config.chunk_syms.bit_length() - 1 if config.codec == "huffman" else 0
+    )
     return framing.pack_frame(
         codec_id=config.codec_id,
         arity=config.arity,
@@ -59,6 +62,7 @@ def compress(data: BytesLike, config: Optional[CodecConfig] = None) -> bytes:
         crcs=crcs,
         block_flags=flags,
         shared_table=result.shared_table,
+        chunk_log2=chunk_log2,
     )
 
 
@@ -66,11 +70,12 @@ def decompress(data: BytesLike, config: Optional[CodecConfig] = None) -> bytes:
     """Decompress a framed container. ``config`` may override runtime
     execution knobs (use_device); format parameters come from the frame."""
     frame = framing.unpack_frame(_as_bytes(data))
+    chunk_syms = frame.chunk_syms or min(4096, frame.block_size)
     cfg = CodecConfig(
         codec=frame.codec_name,
         arity=frame.arity if frame.codec_name == "huffman" else 2,
         block_size=frame.block_size,
-        chunk_syms=(config.chunk_syms if config else min(4096, frame.block_size)),
+        chunk_syms=chunk_syms,
         shared_table=frame.shared_table is not None,
         use_device=(config.use_device if config else True),
     )

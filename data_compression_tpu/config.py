@@ -28,8 +28,10 @@ CODEC_NAMES = {v: k for k, v in CODEC_IDS.items()}
 DEFAULT_BLOCK_SIZE = 64 * 1024
 
 # Default chunk: the unit of intra-block parallelism for Huffman
-# encode/decode. Each chunk's payload starts byte-aligned.
-DEFAULT_CHUNK_SYMS = 4096
+# encode/decode. Each chunk's payload starts byte-aligned. 512 makes a
+# 64 KiB block exactly 128 chunks — one VPU lane each in the Pallas
+# encode kernel (ops/pallas/encode_kernel.py).
+DEFAULT_CHUNK_SYMS = 512
 
 # Huffman code lengths must stay below 16 digits; the reference asserts
 # the same bound (n_ary_huffman.c:1414).
@@ -66,6 +68,7 @@ class CodecConfig:
     arity: int = 2
     block_size: int = DEFAULT_BLOCK_SIZE
     chunk_syms: int = DEFAULT_CHUNK_SYMS
+    use_pallas: bool = True  # fused TPU kernels when shapes/backend allow
     shared_table: bool = False
     use_device: bool = True
     level: Optional[int] = None  # reserved
@@ -81,6 +84,8 @@ class CodecConfig:
             raise ValueError(
                 f"chunk_syms {self.chunk_syms} must divide block_size {self.block_size}"
             )
+        if self.codec == "huffman" and self.chunk_syms & (self.chunk_syms - 1):
+            raise ValueError("huffman chunk_syms must be a power of two")
 
     @property
     def codec_id(self) -> int:

@@ -80,10 +80,15 @@ class Frame:
     shared_table: Optional[bytes]
     entries: List[BlockEntry]
     payloads: List[bytes]
+    chunk_log2: int = 0  # log2(chunk_syms) for chunked codecs; 0 = n/a
 
     @property
     def codec_name(self) -> str:
         return CODEC_NAMES[self.codec_id]
+
+    @property
+    def chunk_syms(self) -> int:
+        return 1 << self.chunk_log2 if self.chunk_log2 else 0
 
 
 def pack_frame(
@@ -96,13 +101,15 @@ def pack_frame(
     crcs: Sequence[int],
     block_flags: Sequence[int],
     shared_table: Optional[bytes] = None,
+    chunk_log2: int = 0,
 ) -> bytes:
     """Assemble a complete framed stream."""
     n = len(payloads)
     assert n == len(raw_lens) == len(crcs) == len(block_flags)
     flags = FLAG_SHARED_TABLE if shared_table is not None else 0
     head_wo_crc = _HEADER.pack(
-        MAGIC, VERSION, flags, codec_id, arity, block_size, n, total_len, 0, 0
+        MAGIC, VERSION, flags, codec_id, arity, block_size, n, total_len,
+        chunk_log2, 0
     )[:-4]
     header = head_wo_crc + struct.pack("<I", crc32(head_wo_crc))
     parts = [header]
@@ -120,7 +127,7 @@ def unpack_frame(data: bytes) -> Frame:
     materialized as bytes)."""
     if len(data) < _HEADER.size:
         raise ValueError("truncated frame: header")
-    (magic, ver, flags, codec_id, arity, bsize, nblocks, total, _rsvd, hcrc) = (
+    (magic, ver, flags, codec_id, arity, bsize, nblocks, total, chunk_log2, hcrc) = (
         _HEADER.unpack_from(data, 0)
     )
     if magic != MAGIC:
@@ -159,6 +166,7 @@ def unpack_frame(data: bytes) -> Frame:
         shared_table=shared_table,
         entries=entries,
         payloads=payloads,
+        chunk_log2=chunk_log2,
     )
 
 

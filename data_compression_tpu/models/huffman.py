@@ -231,6 +231,7 @@ class HuffmanCodec(Codec):
         return out
 
     def _encode_device(self, blocks, lengths, tables) -> List[List[bytes]]:
+        import jax
         import jax.numpy as jnp
 
         from data_compression_tpu.ops.encode_fast import (
@@ -241,6 +242,38 @@ class HuffmanCodec(Codec):
         B, S = blocks.shape
         C = self.config.chunk_syms
         arity = self.config.arity
+
+        from data_compression_tpu.ops.pallas.encode_kernel import (
+            CHUNK_SYMS as PALLAS_C,
+            LANES,
+        )
+
+        if (
+            self.config.use_pallas
+            and jax.default_backend() == "tpu"
+            and C == PALLAS_C
+            and S == PALLAS_C * LANES
+        ):
+            from data_compression_tpu.ops.pallas.encode_kernel import (
+                encode_blocks_pallas,
+            )
+
+            packed, nbytes, _ = encode_blocks_pallas(
+                jnp.asarray(blocks), np.asarray(lengths), tables, arity
+            )
+            packed = np.asarray(packed)
+            nbytes = np.asarray(nbytes)
+            ncb = S // C
+            out = []
+            for i in range(B):
+                n_real = len(self._chunk_counts(int(lengths[i])))
+                out.append(
+                    [
+                        packed[i * ncb + c, : int(nbytes[i * ncb + c])].tobytes()
+                        for c in range(n_real)
+                    ]
+                )
+            return out
         ncb = S // C  # chunks per (full) block
         syms = blocks.reshape(B * ncb, C)
         counts = np.clip(

@@ -139,20 +139,26 @@ def encode_chunks_fast(
     buf = words[:, 0]  # [N, Wf] uint32
     total_bits = lens[:, 0]
     total_digits = total_bits // bpd
+    out = words_to_wire_bytes(buf, arity, cap_digits)
+    nbytes = -(-total_digits // D)
+    return out, nbytes, total_digits
 
+
+def words_to_wire_bytes(buf: jnp.ndarray, arity: int, cap_digits: int) -> jnp.ndarray:
+    """[N, Wf] u32 bit-field buffers -> [N, max_bytes] wire bytes
+    (identity reinterpretation for n=2/16; 2-bit fields -> 5 trits per
+    byte for n=3)."""
+    N, Wf = buf.shape
+    buf = buf.astype(jnp.uint32)
+    D = ARITY_DIGITS_PER_BYTE[arity]
     if arity == 3:
-        # repack 2-bit fields -> 5 trits per byte
         shifts = (2 * jnp.arange(16, dtype=jnp.uint32))[None, None, :]
         trits = ((buf[:, :, None] >> shifts) & 3).astype(jnp.int32)  # [N, Wf, 16]
         trits = trits.reshape(N, Wf * 16)[:, :cap_digits]
         weights = jnp.asarray([1, 3, 9, 27, 81], jnp.int32)
-        out = jnp.sum(
+        return jnp.sum(
             trits.reshape(N, cap_digits // 5, 5) * weights[None, None, :], axis=-1
         ).astype(jnp.uint8)
-    else:
-        shifts = (8 * jnp.arange(4, dtype=jnp.uint32))[None, None, :]
-        out = ((buf[:, :, None] >> shifts) & jnp.uint32(0xFF)).astype(jnp.uint8)
-        out = out.reshape(N, Wf * 4)[:, : cap_digits // D]
-
-    nbytes = -(-total_digits // D)
-    return out, nbytes, total_digits
+    shifts = (8 * jnp.arange(4, dtype=jnp.uint32))[None, None, :]
+    out = ((buf[:, :, None] >> shifts) & jnp.uint32(0xFF)).astype(jnp.uint8)
+    return out.reshape(N, Wf * 4)[:, : cap_digits // D]

@@ -1,0 +1,247 @@
+"""Pallas TPU kernel: fused Huffman chunk encode, one block per grid cell.
+
+Fuses the whole encode (table lookup -> per-symbol bit-field words ->
+hierarchical merge) into VMEM, eliminating the inter-stage HBM round
+trips that cap the pure-XLA formulation (ops/encode_fast.py).
+
+Layout: **chunk-per-lane.**  A 64 KiB block = 128 chunks x 512 symbols;
+the kernel sees symbols as [512, 128] with the chunk index in the lane
+dimension, so every merge level is elementwise across lanes and the
+pair reductions walk the sublane-major axis — no cross-lane traffic at
+all.  One canonical table per block rides in SMEM as a (used-symbol,
+packed-code, bit-length) list; the lookup is a dynamic-bound fori over
+the used symbols (typically ~60 for text, worst case 256), a masked
+select per entry.
+
+Output is the raw [Wf, 128] u32 bit-field buffer per block plus total
+bit counts; the (cheap) wire-byte conversion and per-chunk transpose
+stay in XLA (ops/encode_fast.words_to_wire_bytes), so the kernel output
+is wire-identical to the XLA and numpy encoders (tested).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from data_compression_tpu.config import ARITY_DIGITS_PER_BYTE, ARITY_MAX_LEN
+from data_compression_tpu.huffman.canonical import CanonicalTable
+from data_compression_tpu.ops.encode_fast import (
+    BITS_PER_DIGIT,
+    pack_encode_table,
+    words_to_wire_bytes,
+)
+from data_compression_tpu.ops.huffman_coding import _cap_digits
+
+CHUNK_SYMS = 512  # 128 chunks x 512 symbols = 64 KiB block
+LANES = 128
+
+
+def _levels(arity: int):
+    """Static (W, W2) schedule of the merge tree."""
+    maxf = ARITY_MAX_LEN[arity] * BITS_PER_DIGIT[arity]
+    cap_bits = _cap_digits(CHUNK_SYMS, arity) * BITS_PER_DIGIT[arity]
+    Wf = -(-cap_bits // 32)
+    sched = []
+    P, W = CHUNK_SYMS, 1
+    level = 0
+    while P > 1:
+        level += 1
+        need = min((1 << level) * maxf, cap_bits)
+        W2 = min(-(-need // 32), Wf)
+        sched.append((P, W, W2))
+        P //= 2
+        W = W2
+    return sched, Wf
+
+
+def _shift_words(x, k):
+    """Move word i -> i+k along axis -2 (towards higher words)."""
+    if k == 0:
+        return x
+    W = x.shape[-2]
+    if k >= W:
+        return jnp.zeros_like(x)
+    return jnp.pad(x, [(0, 0)] * (x.ndim - 2) + [(k, 0), (0, 0)])[..., :W, :]
+
+
+def _mshl(b, nbits):
+    """Multiword shift-left: b [Q, W, 128] int32, nbits [Q, 1, 128]."""
+    W = b.shape[-2]
+    wsh = jax.lax.shift_right_logical(nbits, 5)
+    bsh = nbits & 31
+    x = b
+    t = 0
+    while (1 << t) < W:
+        moved = _shift_words(x, 1 << t)
+        sel = (jax.lax.shift_right_logical(wsh, t) & 1) == 1
+        x = jnp.where(sel, moved, x)
+        t += 1
+    prev = _shift_words(x, 1)
+    lo = jax.lax.shift_left(x, bsh)
+    carry = jnp.where(
+        bsh == 0,
+        0,
+        jax.lax.shift_right_logical(prev, 32 - bsh),
+    )
+    return lo | carry
+
+
+def _make_kernel(arity: int):
+    sched, Wf = _levels(arity)
+    C = CHUNK_SYMS
+
+    def kernel(usyms_ref, upacked_ref, ubits_ref, meta_ref, syms_ref,
+               words_ref, totbits_ref):
+        s = syms_ref[0].astype(jnp.int32)  # [C, 128]
+        K = meta_ref[0, 0, 0]
+        raw_len = meta_ref[0, 0, 1]
+
+        def body(k, carry):
+            w, l = carry
+            v = usyms_ref[0, 0, k]
+            m = s == v
+            w = jnp.where(m, upacked_ref[0, 0, k], w)
+            l = jnp.where(m, ubits_ref[0, 0, k], l)
+            return (w, l)
+
+        w0 = jnp.zeros((C, LANES), jnp.int32)
+        l0 = jnp.zeros((C, LANES), jnp.int32)
+        w, l = jax.lax.fori_loop(0, K, body, (w0, l0))
+
+        # mask positions past the block's valid length: chunk = lane,
+        # count per lane = clip(raw_len - lane*C, 0, C)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (C, LANES), 1)
+        pos = jax.lax.broadcasted_iota(jnp.int32, (C, LANES), 0)
+        cc = jnp.clip(raw_len - lane * C, 0, C)
+        valid = pos < cc
+        w = jnp.where(valid, w, 0)
+        l = jnp.where(valid, l, 0)
+
+        words = w[:, None, :]  # [P, W=1, 128]
+        lens = l
+        for (P, W, W2) in sched:
+            x = words.reshape(P // 2, 2, W, LANES)
+            a, b = x[:, 0], x[:, 1]
+            ll = lens.reshape(P // 2, 2, LANES)
+            la, lb = ll[:, 0], ll[:, 1]
+            if W2 > W:
+                padw = [(0, 0), (0, W2 - W), (0, 0)]
+                a = jnp.pad(a, padw)
+                b = jnp.pad(b, padw)
+            words = a | _mshl(b, la[:, None, :])
+            lens = la + lb
+        words_ref[0] = words[0]  # [Wf, 128]
+        totbits_ref[0] = lens  # [1, 128] (P==1 leaves lens [1, 128])
+
+    return kernel, Wf
+
+
+@functools.partial(jax.jit, static_argnames=("arity", "interpret"))
+def _encode_pallas(
+    syms_t: jnp.ndarray,  # [B, C, 128] uint8/int32 (symbol-major)
+    usyms: jnp.ndarray,  # [B, 256] int32 (pad 0x1FF)
+    upacked: jnp.ndarray,  # [B, 256] int32
+    ubits: jnp.ndarray,  # [B, 256] int32
+    meta: jnp.ndarray,  # [B, 2] int32: used_count, raw_len
+    *,
+    arity: int,
+    interpret: bool = False,
+):
+    B = syms_t.shape[0]
+    kernel, Wf = _make_kernel(arity)
+    C = CHUNK_SYMS
+    usyms = usyms[:, None, :]
+    upacked = upacked[:, None, :]
+    ubits = ubits[:, None, :]
+    meta = meta[:, None, :]
+    words, totbits = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, 1, 256), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 256), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 256), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 2), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, C, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, Wf, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Wf, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, LANES), jnp.int32),
+        ],
+        interpret=interpret,
+    )(usyms, upacked, ubits, meta, syms_t)
+    return words, totbits
+
+
+def prep_tables(tables: List[CanonicalTable]) -> Tuple[np.ndarray, ...]:
+    """Host-side: per-block used-symbol lists for the SMEM select loop."""
+    B = len(tables)
+    usyms = np.full((B, 256), 0x1FF, np.int32)  # never matches a byte
+    upacked = np.zeros((B, 256), np.int32)
+    ubits = np.zeros((B, 256), np.int32)
+    count = np.zeros((B,), np.int32)
+    cache = {}
+    for i, t in enumerate(tables):
+        key = id(t)
+        if key not in cache:
+            pt, bt = pack_encode_table(t)
+            used = np.flatnonzero(bt > 0)
+            cache[key] = (used, pt, bt)
+        used, pt, bt = cache[key]
+        usyms[i, : used.size] = used
+        upacked[i, : used.size] = pt[used].astype(np.int32)
+        ubits[i, : used.size] = bt[used]
+        count[i] = used.size
+    return usyms, upacked, ubits, count
+
+
+def encode_blocks_pallas(
+    blocks: jnp.ndarray,  # [B, 65536] uint8
+    raw_lens: np.ndarray,  # [B]
+    tables: List[CanonicalTable],
+    arity: int,
+    interpret: bool = False,
+):
+    """-> (wire bytes [B*128, max_chunk_bytes], nbytes [B*128]) —
+    wire-identical to encode_chunks_fast with chunk_syms=512."""
+    B, S = blocks.shape
+    C = CHUNK_SYMS
+    assert S == C * LANES, "pallas encoder requires 64 KiB blocks"
+    bpd = BITS_PER_DIGIT[arity]
+    D = ARITY_DIGITS_PER_BYTE[arity]
+    cap_digits = _cap_digits(C, arity)
+
+    usyms, upacked, ubits, count = prep_tables(tables)
+    meta = np.stack([count, np.asarray(raw_lens, np.int32)], axis=1).astype(np.int32)
+
+    syms_t = jnp.transpose(
+        jnp.asarray(blocks).reshape(B, LANES, C), (0, 2, 1)
+    )  # [B, C, 128]
+    words, totbits = _encode_pallas(
+        syms_t,
+        jnp.asarray(usyms),
+        jnp.asarray(upacked),
+        jnp.asarray(ubits),
+        jnp.asarray(meta),
+        arity=arity,
+        interpret=interpret,
+    )
+    # [B, Wf, 128] -> [B*128, Wf] (chunk-major) -> wire bytes
+    buf = jnp.transpose(words, (0, 2, 1)).reshape(B * LANES, -1)
+    out = words_to_wire_bytes(buf, arity, cap_digits)
+    total_digits = (
+        jnp.transpose(totbits, (0, 2, 1)).reshape(B * LANES) // bpd
+    )
+    nbytes = -(-total_digits // D)
+    return out, nbytes, total_digits

@@ -232,6 +232,7 @@ def compress_sharded(
         crcs,
         flags,
         shared_table=shared_bytes,
+        chunk_log2=C.bit_length() - 1,
     )
 
 
@@ -251,7 +252,7 @@ def decompress_sharded(
         mesh = make_mesh()
     frame = framing.unpack_frame(data)
     arity = frame.arity
-    C = config.chunk_syms if config else min(4096, frame.block_size)
+    C = frame.chunk_syms or (config.chunk_syms if config else 4096)
     mb = max_chunk_bytes(C, arity)
 
     # Collect huffman-coded blocks (literal blocks pass through).
