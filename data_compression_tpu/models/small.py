@@ -5,47 +5,45 @@ Reimplements the two schemes of small_compression.c:
 Scheme A (``small_byte``, spec at small_compression.c:5-18): each
 compressed byte is a word index; 32 contexts keyed on the low 5 bits of
 the previous plaintext byte (byte_to_context :74-77); indexes 0x80-0xFE
-reference a 127-entry per-context dictionary of
-(prefix_word_index, last_letter) chains (:127-135); the decoder rebuilds
-the dictionary in lock-step, adding (previous word + first byte of next
+reference a 127-entry per-context dictionary; the decoder rebuilds the
+dictionary in lock-step, adding (previous word + first byte of next
 word) each step (:473-482).
 
 Scheme B (``small_nybble``): words are nybble strings, low-nybble-first
 within a byte (little_endian write_nybble :1192-1215); literal nybbles
-live at reserved indexes 0x10-0x1F (:803-805); table[32][256] seeded so
-every byte index initially decodes to itself (:783-836); new word
-indexes allocate from 0x80 wrapping at 0x100 (increment_table_index
-:1330-1384).
+live at reserved indexes 0x10-0x1F (:803-805); every byte index
+initially decodes to itself (:783-836); new word indexes allocate from
+0x80 wrapping at 0x100 (increment_table_index :1330-1384).
 
-The reference's encoder for scheme A is stubbed (its tree search is
-commented out, :530-549, leaving a hard-wired space+lowercase rule) and
-its LZW special case is ``assert(0)`` (:428).  This module builds the
-real codec the comments describe, with three deliberate fixes, each
-noted inline:
+The reference's scheme-A encoder is stubbed (its tree search is
+commented out, :530-549) and its LZW special case is ``assert(0)``
+(:428).  This module builds the real codec with **frozen-content
+(span) semantics**: every dictionary entry is an immutable span of the
+already-decoded output — ``(previous word's start, previous length+1)``
+— which is the standard LZW dictionary model.  (The reference walks
+(prefix, letter) chains through a *mutating* table, which changes old
+entries' meaning after slot wrap-around and is exactly the bookkeeping
+its unfinished encoder never resolved.)  Consequences:
 
-  1. dictionary slots allocate from the context the entry is stored in
-     (the reference draws ``tochange`` from the *current* context's
-     counter but stores into the *previous* context's table,
-     :480-482 — inconsistent bookkeeping its stubbed encoder never
-     exercised);
-  2. the LZW special case (cScSc) is implemented per the references the
-     author cites (:414-430): the new word's last letter is the first
-     letter of the previous word;
-  3. the initial previous-context is ``byte_to_context(' ')`` rather
-     than the raw byte ``' '`` (the reference indexes
-     ``dictionary[32]`` out of bounds on the first update, :468).
+  * the LZW special case (cScSc) needs no code at all: the span's last
+    byte is by construction the first byte of the word being decoded,
+    and a byte-serial (or 1-byte-fixup) copy materializes it;
+  * decode is an LZ77-style copy loop — device-friendly
+    (ops/scan_codecs.small_byte_decode_blocks);
+  * the encoder tracks a per-slot generation counter so matches only
+    extend through entries whose frozen prefix content is still the
+    live content of the prefix slot.
 
-Encoder/decoder stay synchronized by construction: the encoder extends
-matches by scanning the *live* dictionary (exactly the state the
-decoder has), so chain reuse after slot wrap-around can never desync.
+Further deliberate fixes vs the reference, noted inline: slots allocate
+from the context the entry is stored in (the reference draws the slot
+from the *current* context's counter but stores into the *previous*
+context's table, :480-482), and the initial previous-context is
+``byte_to_context(' ')`` (the reference indexes ``dictionary[32]`` out
+of bounds on its first update, :468).
 
 Decoder behavior matches the reference on every stream the reference's
-own tests exercise (mock-encoder streams; verified in
-tests/test_small.py).
-
-Host implementation; the device path (vmapped scan over blocks, linear
-127-entry table probes per step) mirrors the nybble codec's strategy in
-ops/scan_codecs.py and lands with the block-parallel LZW kernels.
+own tests exercise (mock-encoder streams never wrap slots or reuse
+chains; verified in tests/test_small.py).
 """
 
 from __future__ import annotations
@@ -59,7 +57,7 @@ from data_compression_tpu.models.base import Codec, EncodeResult
 EIGHT_BIT_PRUNED = 8  # small_compression.c:39
 NUM_CONTEXTS = 32
 DICT_INDEXES = 0x7F  # 127 word slots per context (scheme A)
-MAX_WORD = 256  # chain-walk guard (reference has none; reversed_word[128])
+MAX_WORD = 256  # encoder match-length cap
 
 
 def _ctx(byte: int) -> int:
@@ -67,66 +65,66 @@ def _ctx(byte: int) -> int:
 
 
 # ----------------------------------------------------------------------
-# Scheme A: byte-oriented context LZW
+# Scheme A: byte-oriented context LZW (span dictionary)
 # ----------------------------------------------------------------------
 
 
 class _ByteDict:
-    """Per-context (prefix, letter) chain dictionary, decoder state."""
+    """Per-context span dictionary.  A slot holds either its default
+    content (' ' + chr(i), start < 0 — initialize_dictionary,
+    small_compression.c:171-196) or a frozen span (start, length) of
+    the output; (prefix, prefix_gen, letter) exist for the encoder's
+    match search."""
 
     def __init__(self):
-        # initialize_dictionary (small_compression.c:171-196): every
-        # slot i decodes as ' ' + chr(i) (i==0 -> 'x').
+        self.start = np.full((NUM_CONTEXTS, DICT_INDEXES), -1, np.int64)
+        self.length = np.full((NUM_CONTEXTS, DICT_INDEXES), 2, np.int64)
+        self.gen = np.zeros((NUM_CONTEXTS, DICT_INDEXES), np.int64)
         self.prefix = np.full((NUM_CONTEXTS, DICT_INDEXES), ord(" "), np.int32)
-        self.letter = np.tile(np.arange(DICT_INDEXES, dtype=np.int32), (NUM_CONTEXTS, 1))
-        self.letter[:, 0] = ord("x")
+        self.prefix_gen = np.zeros((NUM_CONTEXTS, DICT_INDEXES), np.int64)
+        self.letter = np.tile(
+            np.arange(DICT_INDEXES, dtype=np.int32), (NUM_CONTEXTS, 1)
+        )
+        self.letter[:, 0] = ord("x")  # default for slot 0 (:185)
         self.nwi = np.zeros(NUM_CONTEXTS, np.int32)
 
-    def first_byte(self, context: int, index: int) -> int:
-        """Walk the prefix chain to the first (literal) byte."""
-        steps = 0
-        while index & 0x80:
-            index = int(self.prefix[context, index - 0x80])
-            steps += 1
-            if steps > MAX_WORD:
-                raise ValueError("circular dictionary chain")
-        return index
-
-    def decode_word(self, context: int, index: int) -> bytes:
-        rev = []
-        steps = 0
-        while index & 0x80:
-            rev.append(int(self.letter[context, index - 0x80]))
-            index = int(self.prefix[context, index - 0x80])
-            steps += 1
-            if steps > MAX_WORD:
-                raise ValueError("circular dictionary chain")
-        if index != 0x00:  # 0x00-terminated chain special case (:303-308)
-            rev.append(index)
-        return bytes(reversed(rev))
-
-    def update(self, prev_context: int, prev_index: int, context: int, index: int):
-        """Lock-step LZW insert (update_dictionary, :389-440, fixed)."""
-        tochange = int(self.nwi[prev_context])
-        special = (index == 0x80 + tochange) and (context == prev_context)
-        if special:
-            # LZW cScSc case: last letter = first byte of previous word.
-            fb = self.first_byte(prev_context, prev_index)
+    def add(self, prev_context, prev_index, prev_pos, prev_len, first_byte):
+        """Lock-step insert: new word = previous word + 1 byte, i.e. the
+        span (prev_pos, prev_len + 1)."""
+        s = int(self.nwi[prev_context])
+        self.start[prev_context, s] = prev_pos
+        self.length[prev_context, s] = prev_len + 1
+        self.gen[prev_context, s] += 1
+        self.prefix[prev_context, s] = prev_index
+        if prev_index >= 0x80:
+            self.prefix_gen[prev_context, s] = self.gen[prev_context, prev_index - 0x80]
         else:
-            fb = self.first_byte(context, index)
-        self.prefix[prev_context, tochange] = prev_index
-        self.letter[prev_context, tochange] = fb
-        self.nwi[prev_context] = (tochange + 1) % DICT_INDEXES
+            self.prefix_gen[prev_context, s] = 0
+        self.letter[prev_context, s] = first_byte
+        self.nwi[prev_context] = (s + 1) % DICT_INDEXES
 
-    def find_child(self, context: int, index: int, byte: int, banned: int) -> int:
-        """Lowest live slot w with (prefix==index, letter==byte), or -1.
+    def emit(self, context, index, out: bytearray) -> int:
+        """Append index's word to out; returns its length."""
+        if index < 0x80:
+            out.append(index)
+            return 1
+        s = index - 0x80
+        st = int(self.start[context, s])
+        ln = int(self.length[context, s])
+        if st < 0:  # default entry: ' ' + chr(s)
+            out.append(ord(" "))
+            out.append(ord("x") if s == 0 else s)
+            return 2
+        for k in range(ln):  # byte-serial copy handles self-overlap
+            out.append(out[st + k])
+        return ln
 
-        ``banned`` is the slot the decoder will redefine before decoding
-        the next emitted index — its old content must not be referenced.
-        """
-        hits = np.flatnonzero(
-            (self.prefix[context] == index) & (self.letter[context] == byte)
-        )
+    def find_child(self, context, index, byte, banned) -> int:
+        """Lowest slot whose frozen content = content(index) + byte."""
+        ok = (self.prefix[context] == index) & (self.letter[context] == byte)
+        if index >= 0x80:
+            ok &= self.prefix_gen[context] == self.gen[context, index - 0x80]
+        hits = np.flatnonzero(ok)
         for w in hits:
             if int(w) != banned:
                 return int(w)
@@ -143,8 +141,9 @@ def small_byte_encode_host(src: bytes) -> bytes:
         raise ValueError("small_byte codec requires 7-bit plaintext")
     out.append(src[0])
     d = _ByteDict()
-    prev_context = _ctx(ord(" "))  # fix 3
+    prev_context = _ctx(ord(" "))  # fixed init (ref indexes OOB, :468)
     prev_index = src[0]
+    prev_pos, prev_len = 0, 1
     pos = 1
     n = len(src)
     while pos < n:
@@ -159,14 +158,15 @@ def small_byte_encode_host(src: bytes) -> bytes:
             index = 0x80 + w
             length += 1
         out.append(index)
-        d.update(prev_context, prev_index, context, index)
-        pos += length
+        d.add(prev_context, prev_index, prev_pos, prev_len, src[pos])
         prev_context, prev_index = context, index
+        prev_pos, prev_len = pos, length
+        pos += length
     return bytes(out)
 
 
 def small_byte_decode_host(payload: bytes, raw_len: int) -> bytes:
-    """Lock-step decoder (decompress_bytestring, :453-505, fixed)."""
+    """Lock-step span decoder (decompress_bytestring, :453-505)."""
     if raw_len == 0:
         return b""
     if not payload or payload[0] != EIGHT_BIT_PRUNED:
@@ -175,6 +175,7 @@ def small_byte_decode_host(payload: bytes, raw_len: int) -> bytes:
     d = _ByteDict()
     prev_context = _ctx(ord(" "))
     prev_index = payload[1]
+    prev_pos, prev_len = 0, 1
     i = 2
     while len(out) < raw_len:
         if i >= len(payload):
@@ -182,17 +183,20 @@ def small_byte_decode_host(payload: bytes, raw_len: int) -> bytes:
         index = payload[i]
         i += 1
         context = _ctx(out[-1])
-        d.update(prev_context, prev_index, context, index)
-        word = d.decode_word(context, index)
-        out.extend(word)
+        pos = len(out)
+        wl = d.emit(context, index, out)
+        # insert AFTER emit start position is known; first byte of the
+        # current word is out[pos]
+        d.add(prev_context, prev_index, prev_pos, prev_len, out[pos])
         prev_context, prev_index = context, index
+        prev_pos, prev_len = pos, wl
     if len(out) != raw_len:
         raise ValueError("small_byte stream decoded past expected length")
     return bytes(out)
 
 
 # ----------------------------------------------------------------------
-# Scheme B: nybble-oriented context LZW
+# Scheme B: nybble-oriented context LZW (span dictionary, nybble coords)
 # ----------------------------------------------------------------------
 
 WORD_INDEXES = 256
@@ -203,58 +207,69 @@ def _is_literal_index(x: int) -> bool:
 
 
 class _NybbleTable:
+    """Spans are in *nybble* coordinates over the decoded nybble
+    stream.  Defaults: byte index i = its own two nybbles, low first
+    (initialize_table, :783-836); literal indexes 0x10-0x1F are single
+    nybbles."""
+
     def __init__(self):
-        # initialize_table (:783-836): byte index i decodes to its own
-        # two nybbles, low nybble first (little_endian).
+        self.start = np.full((NUM_CONTEXTS, WORD_INDEXES), -1, np.int64)
+        self.length = np.zeros((NUM_CONTEXTS, WORD_INDEXES), np.int64)
+        self.gen = np.zeros((NUM_CONTEXTS, WORD_INDEXES), np.int64)
         idx = np.arange(WORD_INDEXES, dtype=np.int32)
-        self.prefix = (idx & 0x0F) | 0x10  # literal index of first (low) nybble
-        self.prefix = np.tile(self.prefix, (NUM_CONTEXTS, 1))
+        self.prefix = np.tile((idx & 0x0F) | 0x10, (NUM_CONTEXTS, 1))
+        self.prefix_gen = np.zeros((NUM_CONTEXTS, WORD_INDEXES), np.int64)
         self.letter = np.tile((idx >> 4) & 0x0F, (NUM_CONTEXTS, 1))
         self.nwi = np.full(NUM_CONTEXTS, 0x80, np.int32)
 
-    def first_nybble(self, context: int, index: int) -> int:
-        steps = 0
-        while not _is_literal_index(index):
-            index = int(self.prefix[context, index])
-            steps += 1
-            if steps > 2 * MAX_WORD:
-                raise ValueError("circular table chain")
-        return index & 0xF
-
-    def decode_nybbles(self, context: int, index: int) -> List[int]:
-        rev = []
-        steps = 0
-        while not _is_literal_index(index):
-            rev.append(int(self.letter[context, index]))
-            index = int(self.prefix[context, index])
-            steps += 1
-            if steps > 2 * MAX_WORD:
-                raise ValueError("circular table chain")
-        rev.append(index & 0xF)
-        return rev[::-1]
-
-    def update(self, prev_context: int, prev_index: int, context: int, index: int):
-        tochange = int(self.nwi[prev_context])
-        special = index == tochange and context == prev_context
-        if special:
-            fn = self.first_nybble(prev_context, prev_index)
+    def add(self, prev_context, prev_index, prev_pos, prev_len, first_nybble):
+        s = int(self.nwi[prev_context])
+        self.start[prev_context, s] = prev_pos
+        self.length[prev_context, s] = prev_len + 1
+        self.gen[prev_context, s] += 1
+        self.prefix[prev_context, s] = prev_index
+        if (
+            prev_index >= 0
+            and not _is_literal_index(prev_index)
+            and self.start[prev_context, prev_index] >= 0
+        ):
+            self.prefix_gen[prev_context, s] = self.gen[prev_context, prev_index]
         else:
-            fn = self.first_nybble(context, index)
-        self.prefix[prev_context, tochange] = prev_index
-        self.letter[prev_context, tochange] = fn
-        nxt = tochange + 1
+            self.prefix_gen[prev_context, s] = 0
+        self.letter[prev_context, s] = first_nybble
+        nxt = s + 1
         if nxt >= 0x100:  # wraptype only_hi_bit_set (:1343-1348)
             nxt = 0x80
         self.nwi[prev_context] = nxt
 
-    def find_child(self, context: int, index: int, nyb: int, banned: int) -> int:
-        hits = np.flatnonzero(
-            (self.prefix[context] == index) & (self.letter[context] == nyb)
-        )
+    def emit(self, context, index, nybs: List[int]) -> int:
+        if _is_literal_index(index):
+            nybs.append(index & 0xF)
+            return 1
+        st = int(self.start[context, index])
+        ln = int(self.length[context, index])
+        if st < 0:  # default: the byte's own two nybbles, low first
+            nybs.append(index & 0xF)
+            nybs.append((index >> 4) & 0xF)
+            return 2
+        for k in range(ln):
+            nybs.append(nybs[st + k])
+        return ln
+
+    def find_child(self, context, index, nyb, banned) -> int:
+        ok = (self.prefix[context] == index) & (self.letter[context] == nyb)
+        if not _is_literal_index(index):
+            if self.start[context, index] >= 0:
+                ok &= self.prefix_gen[context] == self.gen[context, index]
+            else:
+                ok &= self.prefix_gen[context] == 0
+        lit = np.zeros(WORD_INDEXES, bool)
+        lit[0x10:0x20] = True
+        ok &= ~lit
+        hits = np.flatnonzero(ok)
         for w in hits:
-            wi = int(w)
-            if not _is_literal_index(wi) and wi != banned:
-                return wi
+            if int(w) != banned:
+                return int(w)
         return -1
 
 
@@ -268,22 +283,24 @@ def _byte_nybbles(data: bytes) -> List[int]:
 
 
 def small_nybble_encode_host(src: bytes) -> bytes:
+    """Spans index the FULL nybble stream (verbatim first byte
+    included), so the first lock-step insert is an ordinary span."""
     out = bytearray([EIGHT_BIT_PRUNED])
     if not src:
         return bytes(out)
     out.append(src[0])
     t = _NybbleTable()
-    nybs = _byte_nybbles(src[1:])
+    nybs = _byte_nybbles(src)
     N = len(nybs)
     prev_context = _ctx(ord(" "))
-    prev_index = src[0]
-    pos = 0
-    out_nybbles = 0  # nybbles emitted so far (tracks context byte)
+    # -1 sentinel: the verbatim first byte is not an index (a raw byte
+    # value in 0x10-0x1F would collide with the literal-nybble range).
+    prev_index = -1
+    prev_pos, prev_len = 0, 2  # the verbatim first byte's two nybbles
+    pos = 2
     while pos < N:
-        # context = last complete output byte (decompress :1450).
-        # Output equals input, so that byte is src[out_nybbles // 2]
-        # (src[0] until the first packed byte completes).
-        context = _ctx(src[out_nybbles // 2])
+        # last complete output byte (output == input): src[pos//2 - 1]
+        context = _ctx(src[pos // 2 - 1])
         banned = int(t.nwi[prev_context]) if context == prev_context else -1
         index = nybs[pos] | 0x10
         length = 1
@@ -294,10 +311,10 @@ def small_nybble_encode_host(src: bytes) -> bytes:
             index = w
             length += 1
         out.append(index)
-        t.update(prev_context, prev_index, context, index)
-        pos += length
-        out_nybbles += length
+        t.add(prev_context, prev_index, prev_pos, prev_len, nybs[pos])
         prev_context, prev_index = context, index
+        prev_pos, prev_len = pos, length
+        pos += length
     return bytes(out)
 
 
@@ -308,28 +325,27 @@ def small_nybble_decode_host(payload: bytes, raw_len: int) -> bytes:
         raise ValueError("bad small_nybble stream type byte")
     first = payload[1]
     t = _NybbleTable()
-    nybs: List[int] = []
+    nybs: List[int] = [first & 0xF, (first >> 4) & 0xF]
     prev_context = _ctx(ord(" "))
-    prev_index = first
+    prev_index = -1  # sentinel, see encoder
+    prev_pos, prev_len = 0, 2
     i = 2
-    target_nybbles = 2 * (raw_len - 1)
-    while len(nybs) < target_nybbles:
+    target = 2 * raw_len
+    while len(nybs) < target:
         if i >= len(payload):
             raise ValueError("truncated small_nybble stream")
         index = payload[i]
         i += 1
-        if len(nybs) < 2:
-            context = _ctx(first)
-        else:
-            done = len(nybs) - (len(nybs) % 2)
-            last_byte = nybs[done - 2] | (nybs[done - 1] << 4)
-            context = _ctx(last_byte)
-        t.update(prev_context, prev_index, context, index)
-        nybs.extend(t.decode_nybbles(context, index))
+        done = len(nybs) // 2  # complete output bytes so far
+        context = _ctx(nybs[2 * done - 2] | (nybs[2 * done - 1] << 4))
+        pos = len(nybs)
+        wl = t.emit(context, index, nybs)
+        t.add(prev_context, prev_index, prev_pos, prev_len, nybs[pos])
         prev_context, prev_index = context, index
-    if len(nybs) != target_nybbles:
+        prev_pos, prev_len = pos, wl
+    if len(nybs) != target:
         raise ValueError("small_nybble stream decoded past expected length")
-    out = bytearray([first])
+    out = bytearray()
     for k in range(0, len(nybs), 2):
         out.append(nybs[k] | (nybs[k + 1] << 4))
     return bytes(out)
@@ -359,6 +375,12 @@ class SmallByteCodec(Codec):
         return EncodeResult(payloads=payloads)
 
     def decode_blocks(self, payloads, raw_lens, shared_table=None):
+        if self.config.use_device and len(payloads) > 1:
+            from data_compression_tpu.ops.scan_codecs import (
+                small_byte_decode_blocks,
+            )
+
+            return small_byte_decode_blocks(payloads, raw_lens)
         from data_compression_tpu import native
 
         if native.load() is not None:

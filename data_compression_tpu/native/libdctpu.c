@@ -173,8 +173,15 @@ int64_t dct_nybble_decode(const uint8_t *payload, int64_t plen, uint8_t *dst,
 #define SB_SLOTS 0x7F
 #define SB_MAXWORD 256
 
+/* Frozen-content span dictionary (see models/small.py).  A slot is
+ * either its default (' ' + chr(i), start < 0) or an immutable span
+ * (start, length) of the decoded output. */
 typedef struct {
+    int64_t start[SB_CTX][SB_SLOTS];
+    int64_t length[SB_CTX][SB_SLOTS];
+    int64_t gen[SB_CTX][SB_SLOTS];
     int32_t prefix[SB_CTX][SB_SLOTS];
+    int64_t prefix_gen[SB_CTX][SB_SLOTS];
     uint8_t letter[SB_CTX][SB_SLOTS];
     int32_t nwi[SB_CTX];
 } sb_dict;
@@ -182,7 +189,11 @@ typedef struct {
 static void sb_init(sb_dict *d) {
     for (int c = 0; c < SB_CTX; c++) {
         for (int i = 0; i < SB_SLOTS; i++) {
+            d->start[c][i] = -1;
+            d->length[c][i] = 2;
+            d->gen[c][i] = 0;
             d->prefix[c][i] = ' ';
+            d->prefix_gen[c][i] = 0;
             d->letter[c][i] = (uint8_t)(i ? i : 'x');
         }
         d->nwi[c] = 0;
@@ -191,40 +202,54 @@ static void sb_init(sb_dict *d) {
 
 static inline int sb_ctx(uint8_t b) { return b & (SB_CTX - 1); }
 
-static int sb_first_byte(const sb_dict *d, int ctx, int idx) {
-    int steps = 0;
-    while (idx & 0x80) {
-        idx = d->prefix[ctx][idx - 0x80];
-        if (++steps > SB_MAXWORD) return DCT_ERR_FORMAT;
-    }
-    return idx;
+static void sb_add(sb_dict *d, int pctx, int pidx, int64_t ppos, int64_t plen,
+                   uint8_t first_byte) {
+    int s = d->nwi[pctx];
+    d->start[pctx][s] = ppos;
+    d->length[pctx][s] = plen + 1;
+    d->gen[pctx][s] += 1;
+    d->prefix[pctx][s] = pidx;
+    d->prefix_gen[pctx][s] =
+        (pidx >= 0x80) ? d->gen[pctx][pidx - 0x80] : 0;
+    d->letter[pctx][s] = first_byte;
+    d->nwi[pctx] = (s + 1) % SB_SLOTS;
 }
 
-static int sb_decode_word(const sb_dict *d, int ctx, int idx, uint8_t *out) {
-    uint8_t rev[SB_MAXWORD + 1];
-    int i = 0;
-    while (idx & 0x80) {
-        rev[i++] = d->letter[ctx][idx - 0x80];
-        idx = d->prefix[ctx][idx - 0x80];
-        if (i > SB_MAXWORD) return DCT_ERR_FORMAT;
+/* Append index's word to out at position *outlen; returns word length. */
+static int64_t sb_emit(const sb_dict *d, int ctx, int idx, uint8_t *out,
+                       int64_t *outlen, int64_t out_cap) {
+    if (idx < 0x80) {
+        if (*outlen >= out_cap) return DCT_ERR_CAPACITY;
+        out[(*outlen)++] = (uint8_t)idx;
+        return 1;
     }
-    if (idx != 0) rev[i++] = (uint8_t)idx;
-    for (int k = 0; k < i; k++) out[k] = rev[i - 1 - k];
-    return i;
+    int s = idx - 0x80;
+    int64_t st = d->start[ctx][s];
+    int64_t ln = d->length[ctx][s];
+    if (st < 0) {
+        if (*outlen + 2 > out_cap) return DCT_ERR_CAPACITY;
+        out[(*outlen)++] = ' ';
+        out[(*outlen)++] = (uint8_t)(s ? s : 'x');
+        return 2;
+    }
+    if (*outlen + ln > out_cap) return DCT_ERR_CAPACITY;
+    for (int64_t k = 0; k < ln; k++) { /* byte-serial: self-overlap OK */
+        out[*outlen] = out[st + k];
+        (*outlen)++;
+    }
+    return ln;
 }
 
-static int sb_update(sb_dict *d, int pctx, int pidx, int ctx, int idx) {
-    int tochange = d->nwi[pctx];
-    int fb;
-    if (idx == 0x80 + tochange && ctx == pctx)
-        fb = sb_first_byte(d, pctx, pidx); /* LZW special case */
-    else
-        fb = sb_first_byte(d, ctx, idx);
-    if (fb < 0) return fb;
-    d->prefix[pctx][tochange] = pidx;
-    d->letter[pctx][tochange] = (uint8_t)fb;
-    d->nwi[pctx] = (tochange + 1) % SB_SLOTS;
-    return 0;
+static int sb_find_child(const sb_dict *d, int ctx, int idx, uint8_t c,
+                         int banned) {
+    for (int s = 0; s < SB_SLOTS; s++) {
+        if (s == banned) continue;
+        if (d->prefix[ctx][s] != idx || d->letter[ctx][s] != c) continue;
+        if (idx >= 0x80 && d->prefix_gen[ctx][s] != d->gen[ctx][idx - 0x80])
+            continue;
+        return s;
+    }
+    return -1;
 }
 
 int64_t dct_small_byte_encode(const uint8_t *src, int64_t n, uint8_t *dst,
@@ -234,64 +259,60 @@ int64_t dct_small_byte_encode(const uint8_t *src, int64_t n, uint8_t *dst,
     dst[o++] = SB_TYPE;
     if (n == 0) return o;
     dst[o++] = src[0];
-    sb_dict d;
+    static sb_dict d; /* large; not thread-safe by design of this CLI lib */
     sb_init(&d);
     int pctx = sb_ctx(' ');
     int pidx = src[0];
+    int64_t ppos = 0, plen = 1;
     int64_t pos = 1;
     while (pos < n) {
         if (src[pos] & 0x80 || src[pos - 1] & 0x80) return DCT_ERR_INPUT;
         int ctx = sb_ctx(src[pos - 1]);
         int banned = (ctx == pctx) ? d.nwi[pctx] : -1;
         int idx = src[pos];
-        int len = 1;
+        int64_t len = 1;
         while (pos + len < n && len < SB_MAXWORD - 1) {
-            uint8_t c = src[pos + len];
-            int w = -1;
-            for (int s = 0; s < SB_SLOTS; s++) {
-                if (d.prefix[ctx][s] == idx && d.letter[ctx][s] == c && s != banned) {
-                    w = s;
-                    break;
-                }
-            }
+            int w = sb_find_child(&d, ctx, idx, src[pos + len], banned);
             if (w < 0) break;
             idx = 0x80 + w;
             len++;
         }
         if (o >= cap) return DCT_ERR_CAPACITY;
         dst[o++] = (uint8_t)idx;
-        if (sb_update(&d, pctx, pidx, ctx, idx) < 0) return DCT_ERR_FORMAT;
-        pos += len;
+        sb_add(&d, pctx, pidx, ppos, plen, src[pos]);
         pctx = ctx;
         pidx = idx;
+        ppos = pos;
+        plen = len;
+        pos += len;
     }
     return o;
 }
 
-int64_t dct_small_byte_decode(const uint8_t *payload, int64_t plen,
+int64_t dct_small_byte_decode(const uint8_t *payload, int64_t plen_in,
                               uint8_t *dst, int64_t raw_len) {
     if (raw_len == 0) return 0;
-    if (plen < 2 || payload[0] != SB_TYPE) return DCT_ERR_FORMAT;
+    if (plen_in < 2 || payload[0] != SB_TYPE) return DCT_ERR_FORMAT;
     dst[0] = payload[1];
-    sb_dict d;
+    static sb_dict d;
     sb_init(&d);
     int pctx = sb_ctx(' ');
     int pidx = payload[1];
+    int64_t ppos = 0, plen = 1;
     int64_t out = 1;
     int64_t i = 2;
     while (out < raw_len) {
-        if (i >= plen) return DCT_ERR_FORMAT;
+        if (i >= plen_in) return DCT_ERR_FORMAT;
         int idx = payload[i++];
         int ctx = sb_ctx(dst[out - 1]);
-        if (sb_update(&d, pctx, pidx, ctx, idx) < 0) return DCT_ERR_FORMAT;
-        uint8_t word[SB_MAXWORD + 1];
-        int wl = sb_decode_word(&d, ctx, idx, word);
+        int64_t pos = out;
+        int64_t wl = sb_emit(&d, ctx, idx, dst, &out, raw_len);
         if (wl < 0) return DCT_ERR_FORMAT;
-        if (out + wl > raw_len) return DCT_ERR_FORMAT;
-        memcpy(dst + out, word, (size_t)wl);
-        out += wl;
+        sb_add(&d, pctx, pidx, ppos, plen, dst[pos]);
         pctx = ctx;
         pidx = idx;
+        ppos = pos;
+        plen = wl;
     }
     return out;
 }

@@ -184,6 +184,115 @@ def nybble_encode_blocks(blocks: np.ndarray, lengths: np.ndarray) -> List[bytes]
     return payloads
 
 
+WMAX = 256  # longest LZW word (encoder caps matches below this)
+
+
+def _small_byte_decode_lane(payload, plen, raw_len, S):
+    """One small_byte block as a scan over compressed indexes.
+
+    Span-dictionary decode (models/small.py): every emitted word is a
+    copy of an earlier output span (or a literal / default 2-byte
+    entry), so each step is one dynamic slice + one dynamic update —
+    LZ77-style — with the dictionary as fixed-shape carry arrays.
+    """
+    P = payload.shape[0]
+
+    def step(carry, i):
+        out, out_len, starts, lengths, nwi, prev_ctx, prev_pos, prev_len = carry
+        active = (i + 2 < plen) & (out_len < raw_len)
+        idx = payload[jnp.minimum(i + 2, P - 1)]
+        ctx = out[jnp.maximum(out_len - 1, 0)] & 31
+
+        s = jnp.maximum(idx - 0x80, 0)
+        st = starts[ctx, s]
+        ln = lengths[ctx, s]
+        is_lit = idx < 0x80
+        is_default = (~is_lit) & (st < 0)
+        # word window: literal -> [idx, ...], default -> [' ', s|'x'],
+        # span -> out[st : st+WMAX]
+        win = jax.lax.dynamic_slice(out, (jnp.maximum(st, 0),), (WMAX,))
+        k = jnp.arange(WMAX)
+        default_b1 = jnp.where(s == 0, ord("x"), s)
+        win = jnp.where(
+            is_lit,
+            jnp.where(k == 0, idx, 0),
+            jnp.where(
+                is_default,
+                jnp.where(k == 0, ord(" "), jnp.where(k == 1, default_b1, 0)),
+                win,
+            ),
+        )
+        wl = jnp.where(is_lit, 1, jnp.where(is_default, 2, ln))
+
+        # write the word (unmasked WMAX bytes; tail positions are
+        # future slots that later steps overwrite)
+        new_out = jax.lax.dynamic_update_slice(out, win, (out_len,))
+        out = jnp.where(active, new_out, out)
+
+        # lock-step insert: span (prev_pos, prev_len + 1) in prev_ctx
+        tochange = nwi[prev_ctx]
+        starts = jnp.where(
+            active, starts.at[prev_ctx, tochange].set(prev_pos), starts
+        )
+        lengths = jnp.where(
+            active, lengths.at[prev_ctx, tochange].set(prev_len + 1), lengths
+        )
+        nwi = jnp.where(
+            active, nwi.at[prev_ctx].set((tochange + 1) % 0x7F), nwi
+        )
+
+        prev_ctx = jnp.where(active, ctx, prev_ctx)
+        prev_pos = jnp.where(active, out_len, prev_pos)
+        prev_len = jnp.where(active, wl, prev_len)
+        out_len = jnp.where(active, out_len + wl, out_len)
+        return (out, out_len, starts, lengths, nwi, prev_ctx, prev_pos, prev_len), 0
+
+    out0 = jnp.zeros((S + WMAX,), jnp.int32)
+    out0 = out0.at[0].set(payload[1])
+    carry0 = (
+        out0,
+        jnp.int32(1),
+        jnp.full((32, 0x7F), -1, jnp.int32),
+        jnp.full((32, 0x7F), 2, jnp.int32),
+        jnp.zeros((32,), jnp.int32),
+        jnp.int32(ord(" ") & 31),
+        jnp.int32(0),
+        jnp.int32(1),
+    )
+    (out, out_len, *_), _ = jax.lax.scan(step, carry0, jnp.arange(P - 2))
+    return out[:S].astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("S",))
+def _small_byte_decode_batch(payloads, plens, raw_lens, S):
+    return jax.vmap(lambda p, pl, r: _small_byte_decode_lane(p, pl, r, S))(
+        payloads.astype(jnp.int32), plens, raw_lens
+    )
+
+
+def small_byte_decode_blocks(payloads: List[bytes], raw_lens: List[int]) -> List[bytes]:
+    """Device-parallel span-LZW decode, one lane per block."""
+    if not payloads:
+        return []
+    B = len(payloads)
+    P = max(max(len(p) for p in payloads), 3)
+    arr = np.zeros((B, P), np.uint8)
+    plens = np.zeros(B, np.int32)
+    for i, p in enumerate(payloads):
+        if len(p) == 0 or p[0] != 8:  # EIGHT_BIT_PRUNED
+            raise ValueError(f"block {i}: bad small_byte stream type byte")
+        arr[i, : len(p)] = np.frombuffer(p, np.uint8)
+        plens[i] = len(p)
+    rl = np.asarray(raw_lens, np.int32)
+    S = max(_round_up(int(rl.max(initial=1)), 4096), WMAX)
+    outs = np.asarray(
+        _small_byte_decode_batch(
+            jnp.asarray(arr), jnp.asarray(plens), jnp.asarray(rl), S
+        )
+    )
+    return [outs[i, : int(rl[i])].tobytes() for i in range(B)]
+
+
 def nybble_decode_blocks(payloads: List[bytes], raw_lens: List[int]) -> List[bytes]:
     """Device-parallel decode of framed nybble payloads."""
     if not payloads:

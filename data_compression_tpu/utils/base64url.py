@@ -1,0 +1,92 @@
+"""base64url digit tables and printable armor.
+
+Reference analogues:
+* ``int2digit`` / ``digit2int`` (n_ary_huffman.c:371-455): RFC 4648
+  base64url digit alphabet, with the decoder accepting the standard
+  ``+ /`` variants for 62/63 alongside ``- _`` — reproduced exactly.
+* ``printable_compression.py`` (an empty 18-line stub in the reference,
+  dated 2025-07-01) and the unimplemented COMPRESSED_TEXT_IS_PRINTABLE
+  mode (small_compression.c:38): here realized as a whole-stream armor:
+  any framed stream becomes pure printable ASCII (and back), so
+  compressed data can ride in source code, logs, or the author's
+  "signature program" use case (nybble_compression.c:1080-1086).
+
+Armor format: 'D' 'C' '1' header, then base64url of the payload, 76
+chars per line, '.' terminator.
+"""
+
+from __future__ import annotations
+
+_ALPHABET = (
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    "abcdefghijklmnopqrstuvwxyz"
+    "0123456789"
+    "-_"
+)
+_DECODE = {c: i for i, c in enumerate(_ALPHABET)}
+# the reference's digit2int also accepts the RFC 4648 standard pair
+# (n_ary_huffman.c:444-447)
+_DECODE["+"] = 62
+_DECODE["/"] = 63
+
+_MAGIC = "DC1"
+_LINE = 76
+
+
+def int2digit(i: int) -> str:
+    """n_ary_huffman.c:371-428."""
+    if not 0 <= i < 64:
+        raise ValueError("digit out of range")
+    return _ALPHABET[i]
+
+
+def digit2int(c: str) -> int:
+    """n_ary_huffman.c:430-455."""
+    try:
+        return _DECODE[c]
+    except KeyError:
+        raise ValueError(f"not a base64url digit: {c!r}") from None
+
+
+def armor(data: bytes) -> str:
+    """Encode bytes as printable base64url text."""
+    digits = []
+    acc = 0
+    nbits = 0
+    for b in data:
+        acc = (acc << 8) | b
+        nbits += 8
+        while nbits >= 6:
+            nbits -= 6
+            digits.append(_ALPHABET[(acc >> nbits) & 63])
+    if nbits:
+        digits.append(_ALPHABET[(acc << (6 - nbits)) & 63])
+    body = "".join(digits)
+    lines = [
+        body[i : i + _LINE] for i in range(0, max(len(body), 1), _LINE)
+    ] or [""]
+    return _MAGIC + ":" + str(len(data)) + "\n" + "\n".join(lines) + "\n.\n"
+
+
+def dearmor(text: str) -> bytes:
+    """Inverse of armor (whitespace-tolerant)."""
+    head, _, rest = text.partition("\n")
+    if not head.startswith(_MAGIC + ":"):
+        raise ValueError("bad armor header")
+    nbytes = int(head[len(_MAGIC) + 1 :])
+    acc = 0
+    nbits = 0
+    out = bytearray()
+    for c in rest:
+        if c in " \t\r\n":
+            continue
+        if c == ".":
+            break
+        acc = (acc << 6) | digit2int(c)
+        nbits += 6
+        if nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+    if len(out) < nbytes:
+        raise ValueError("truncated armor")
+    return bytes(out[:nbytes])

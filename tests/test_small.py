@@ -6,6 +6,7 @@ import pytest
 
 from data_compression_tpu import compress, decompress
 from data_compression_tpu.config import CodecConfig
+from tests.conftest import ascii_text
 from data_compression_tpu.models.small import (
     EIGHT_BIT_PRUNED,
     small_byte_decode_host,
@@ -104,3 +105,25 @@ def test_api_roundtrip(codec, rng):
     cfg = CodecConfig(codec=codec, block_size=2048, chunk_syms=1024)
     out = compress(data, cfg)
     assert decompress(out) == data
+
+
+def test_device_decode_matches_host(rng):
+    from data_compression_tpu.ops.scan_codecs import small_byte_decode_blocks
+
+    texts = [
+        b"the cat sat on the mat. " * 30,
+        bytes(rng.integers(1, 127, size=3000, dtype=np.uint8)),
+        ascii_text(rng, 2000),
+    ]
+    payloads = [small_byte_encode_host(t) for t in texts]
+    outs = small_byte_decode_blocks(payloads, [len(t) for t in texts])
+    for o, t in zip(outs, texts):
+        assert o == t
+
+
+def test_frozen_semantics_wraparound_consistency(rng):
+    # heavy wrap-around: dictionary slots recycle many times; frozen
+    # spans + generation checks must stay encoder/decoder-consistent
+    data = bytes(rng.integers(1, 32, size=20000, dtype=np.uint8))
+    comp = small_byte_encode_host(data)
+    assert small_byte_decode_host(comp, len(data)) == data

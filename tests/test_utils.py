@@ -1,0 +1,80 @@
+"""base64url digits, printable armor, debug tooling."""
+
+import base64
+
+import numpy as np
+import pytest
+
+from data_compression_tpu import compress, decompress
+from data_compression_tpu.config import CodecConfig
+from data_compression_tpu.utils.base64url import armor, dearmor, digit2int, int2digit
+from data_compression_tpu.utils.debug import (
+    CodecStats,
+    c_literal,
+    c_string,
+    dump_nybble_table,
+    trace_nybble_decode,
+)
+from tests.conftest import ascii_text
+
+
+def test_digit_tables_match_rfc4648():
+    # same alphabet as n_ary_huffman.c:371-428 (base64url)
+    std = base64.urlsafe_b64encode(bytes(range(48))).decode()
+    for i in range(64):
+        assert digit2int(int2digit(i)) == i
+    assert int2digit(62) == "-" and int2digit(63) == "_"
+    # digit2int accepts the standard-alphabet variants (:444-447)
+    assert digit2int("+") == 62 and digit2int("/") == 63
+    assert "".join(int2digit(i) for i in range(64)) == (
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-_"
+    )
+    with pytest.raises(ValueError):
+        digit2int("!")
+
+
+@pytest.mark.parametrize("size", [0, 1, 2, 3, 100, 5000])
+def test_armor_roundtrip(size, rng):
+    data = bytes(rng.integers(0, 256, size=size, dtype=np.uint8))
+    text = armor(data)
+    assert all(0x20 <= ord(c) < 0x7F or c == "\n" for c in text)
+    assert dearmor(text) == data
+
+
+def test_armor_of_compressed_stream(rng):
+    data = ascii_text(rng, 4096)
+    comp = compress(data, CodecConfig(codec="huffman", block_size=2048, chunk_syms=512, use_device=False))
+    text = armor(comp)
+    assert decompress(dearmor(text)) == data
+
+
+def test_c_literal_roundtrip_semantics():
+    # the literal must be a valid C string producing the same bytes;
+    # check the tricky hex-escape/hex-digit collision (:588-597)
+    data = b'\x01a"b\\c\nd\te\xff0'
+    lit = c_literal(data)
+    # a hex digit following a hex escape must be separated so the C
+    # lexer can't merge them
+    assert '\\x01" "a' in lit
+    assert '\\xff" "0' in lit
+    assert c_string(b"hi").startswith("char compressed_data[]")
+
+
+def test_dump_and_trace(rng):
+    from data_compression_tpu.models.nybble import encode_host, _new_table
+
+    assert "ctx 15" in dump_nybble_table(_new_table())
+    text = b"Hello, hello, hello."
+    payload = encode_host(text)
+    steps = list(trace_nybble_decode(payload, len(text)))
+    decoded = "".join(s[1] for s in steps)
+    assert len(steps) >= len(text)  # header rows + one per byte
+
+
+def test_codec_stats():
+    s = CodecStats()
+    s.hit(3)
+    s.hit(3)
+    s.literal()
+    assert "66.7% predicted" in s.summary()
+    assert s.times_used_directly[3] == 2
