@@ -58,7 +58,7 @@ def main(argv=None) -> int:
         sp.add_argument("-c", "--codec", default="huffman", choices=sorted(CODEC_IDS))
         sp.add_argument("-n", "--arity", type=int, default=2, choices=[2, 3, 16])
         sp.add_argument("--block-size", type=int, default=64 * 1024)
-        sp.add_argument("--chunk-syms", type=int, default=4096)
+        sp.add_argument("--chunk-syms", type=int, default=512)
         sp.add_argument("--shared-table", action="store_true")
         sp.add_argument("--no-device", action="store_true", help="host (numpy) path")
 
@@ -68,7 +68,7 @@ def main(argv=None) -> int:
     sp.add_argument("output")
 
     sp = sub.add_parser("decompress", help="decompress IN to OUT")
-    sp.add_argument("--chunk-syms", type=int, default=4096)
+    sp.add_argument("--chunk-syms", type=int, default=512)
     sp.add_argument("--no-device", action="store_true")
     sp.add_argument("input")
     sp.add_argument("output")

@@ -220,13 +220,31 @@ class HuffmanCodec(Codec):
         return EncodeResult(payloads=payloads, shared_table=shared_table_bytes)
 
     def _encode_host(self, blocks, lengths, tables) -> List[List[bytes]]:
+        from data_compression_tpu import native
+        from data_compression_tpu.ops.encode_fast import pack_encode_table
+
+        use_native = native.load() is not None
+        packed_cache = {}
+
+        def _pk(t):
+            if id(t) not in packed_cache:
+                packed_cache[id(t)] = pack_encode_table(t)
+            return packed_cache[id(t)]
+
         out = []
         C = self.config.chunk_syms
         for i in range(blocks.shape[0]):
             raw = blocks[i, : int(lengths[i])]
             chunks = []
             for c, cnt in enumerate(self._chunk_counts(int(lengths[i]))):
-                chunks.append(encode_chunk_np(raw[c * C : c * C + cnt], tables[i]))
+                seg = raw[c * C : c * C + cnt]
+                if use_native:
+                    pt, bt = _pk(tables[i])
+                    chunks.append(
+                        native.huffman_encode_chunk(seg, pt, bt, self.config.arity)
+                    )
+                else:
+                    chunks.append(encode_chunk_np(seg, tables[i]))
             out.append(chunks)
         return out
 
@@ -337,18 +355,38 @@ class HuffmanCodec(Codec):
         return self._decode_host(parsed, raw_lens, tables)
 
     def _decode_host(self, parsed, raw_lens, tables) -> List[bytes]:
+        from data_compression_tpu import native
+
+        use_native = native.load() is not None
+        L = ARITY_MAX_LEN[self.config.arity]
+        dec_cache = {}
+
+        def _dec(t):
+            if id(t) not in dec_cache:
+                dec_cache[id(t)] = build_decode_tables(t, pad_to=L)
+            return dec_cache[id(t)]
+
         out = []
         for (tb, chunks), raw_len, table in zip(parsed, raw_lens, tables):
             counts = self._chunk_counts(raw_len)
             if len(chunks) != len(counts):
                 raise ValueError("huffman chunk count mismatch")
-            parts = [
-                decode_chunk_np(ch, cnt, table) for ch, cnt in zip(chunks, counts)
-            ]
+            if use_native:
+                parts = [
+                    native.huffman_decode_chunk(
+                        ch, cnt, _dec(table), self.config.arity, L
+                    )
+                    for ch, cnt in zip(chunks, counts)
+                ]
+            else:
+                parts = [
+                    decode_chunk_np(ch, cnt, table) for ch, cnt in zip(chunks, counts)
+                ]
             out.append(np.concatenate(parts)[:raw_len].tobytes() if parts else b"")
         return out
 
     def _decode_device(self, parsed, raw_lens, tables) -> List[bytes]:
+        import jax
         import jax.numpy as jnp
 
         from data_compression_tpu.ops.decode_fast import (
@@ -358,6 +396,27 @@ class HuffmanCodec(Codec):
 
         C = self.config.chunk_syms
         arity = self.config.arity
+
+        from data_compression_tpu.ops.pallas.decode_kernel import (
+            C as PALLAS_C,
+            LANES,
+        )
+
+        if (
+            self.config.use_pallas
+            and jax.default_backend() == "tpu"
+            and arity == 2
+            and C == PALLAS_C
+            and self.config.block_size == PALLAS_C * LANES
+        ):
+            from data_compression_tpu.ops.pallas.decode_kernel import (
+                decode_blocks_pallas,
+            )
+
+            return decode_blocks_pallas(
+                [chunks for (_tb, chunks) in parsed], list(raw_lens), tables
+            )
+
         mb = max_chunk_bytes(C, arity)
 
         flat_chunks: List[bytes] = []

@@ -150,3 +150,56 @@ def crc32(data: bytes, seed: int = 0) -> Optional[int]:
     if lib is None:
         return None
     return int(lib.dct_crc32(_buf(data), len(data), seed))
+
+
+def huffman_encode_chunk(syms, packed_tab, bits_tab, arity: int) -> Optional[bytes]:
+    """syms: uint8 ndarray; tables from ops.encode_fast.pack_encode_table."""
+    import numpy as np
+
+    lib = load()
+    if lib is None:
+        return None
+    syms = np.ascontiguousarray(syms, np.uint8)
+    pt = np.ascontiguousarray(packed_tab, np.uint32)
+    bt = np.ascontiguousarray(bits_tab, np.int32)
+    cap = 4 * max(1, syms.size) + 64
+    out = (ctypes.c_uint8 * cap)()
+    n = lib.dct_huffman_encode_chunk(
+        syms.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        syms.size,
+        arity,
+        pt.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        bt.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out,
+        cap,
+    )
+    if n < 0:
+        raise ValueError(f"native huffman encode error {n}")
+    return bytes(out[:n])
+
+
+def huffman_decode_chunk(payload: bytes, count: int, dec_tables, arity: int, L: int):
+    """dec_tables: dict from huffman.canonical.build_decode_tables."""
+    import numpy as np
+
+    lib = load()
+    if lib is None:
+        return None
+    limit = np.ascontiguousarray(dec_tables["limit_scaled"], np.int64)
+    bmf = np.ascontiguousarray(dec_tables["base_minus_first"], np.int64)
+    symbols = np.ascontiguousarray(dec_tables["symbols"], np.int32)
+    out = (ctypes.c_uint8 * max(count, 1))()
+    n = lib.dct_huffman_decode_chunk(
+        _buf(payload),
+        len(payload),
+        count,
+        arity,
+        L,
+        limit.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        bmf.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        symbols.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out,
+    )
+    if n < 0:
+        raise ValueError(f"native huffman decode error {n}")
+    return np.frombuffer(bytes(out[:count]), np.uint8)

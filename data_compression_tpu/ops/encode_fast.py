@@ -40,24 +40,19 @@ BITS_PER_DIGIT = {2: 1, 3: 2, 16: 4}
 
 def pack_encode_table(table: CanonicalTable) -> Tuple[np.ndarray, np.ndarray]:
     """Host-side: per symbol, the little-endian field-packed code word
-    and its bit-field length.  [S] uint32, [S] int32."""
+    and its bit-field length.  [S] uint32, [S] int32.  Vectorized: digit
+    m (MSB-first stream order) lands in field m of width bpd."""
     n = table.arity
     bpd = BITS_PER_DIGIT[n]
-    S = table.lengths.shape[0]
-    packed = np.zeros(S, np.uint32)
-    bits = np.zeros(S, np.int32)
-    for s in range(S):
-        ln = int(table.lengths[s])
-        if ln == 0:
-            continue
-        code = int(table.codes[s])
-        acc = 0
-        for m in range(ln):  # m = stream position within the code
-            digit = (code // n ** (ln - 1 - m)) % n  # MSB-first digit m
-            acc |= digit << (m * bpd)
-        packed[s] = acc
-        bits[s] = ln * bpd
-    return packed, bits
+    lens = np.asarray(table.lengths, np.int64)
+    codes = np.asarray(table.codes, np.int64)
+    maxlen = int(lens.max(initial=0))
+    packed = np.zeros(lens.shape[0], np.uint64)
+    for m in range(maxlen):
+        place = np.clip(lens - 1 - m, 0, None)
+        digit = (codes // n**place) % n
+        packed |= np.where(m < lens, digit << (m * bpd), 0).astype(np.uint64)
+    return packed.astype(np.uint32), (lens * bpd).astype(np.int32)
 
 
 def _shift_words_right(x: jnp.ndarray, k: int) -> jnp.ndarray:

@@ -35,7 +35,6 @@ from data_compression_tpu.huffman.canonical import CanonicalTable
 from data_compression_tpu.ops.encode_fast import (
     BITS_PER_DIGIT,
     pack_encode_table,
-    words_to_wire_bytes,
 )
 from data_compression_tpu.ops.huffman_coding import _cap_digits
 
@@ -96,9 +95,13 @@ def _mshl(b, nbits):
 def _make_kernel(arity: int):
     sched, Wf = _levels(arity)
     C = CHUNK_SYMS
+    bpd = BITS_PER_DIGIT[arity]
+    D = ARITY_DIGITS_PER_BYTE[arity]
+    cap_digits = _cap_digits(C, arity)
+    MB = cap_digits // D  # wire bytes per chunk
 
     def kernel(usyms_ref, upacked_ref, ubits_ref, meta_ref, syms_ref,
-               words_ref, totbits_ref):
+               bytes_ref, nbytes_ref):
         s = syms_ref[0].astype(jnp.int32)  # [C, 128]
         K = meta_ref[0, 0, 0]
         raw_len = meta_ref[0, 0, 1]
@@ -137,10 +140,31 @@ def _make_kernel(arity: int):
                 b = jnp.pad(b, padw)
             words = a | _mshl(b, la[:, None, :])
             lens = la + lb
-        words_ref[0] = words[0]  # [Wf, 128]
-        totbits_ref[0] = lens  # [1, 128] (P==1 leaves lens [1, 128])
+        buf = words[0]  # [Wf, 128] bit-field buffer
+        # wire-byte conversion in VMEM (was an 18 ms XLA pass)
+        if arity == 3:
+            # 2-bit fields -> trits -> 5 trits per byte
+            trits = jnp.stack(
+                [jax.lax.shift_right_logical(buf, 2 * k) & 3 for k in range(16)],
+                axis=1,
+            ).reshape(Wf * 16, LANES)[:cap_digits]
+            t5 = trits.reshape(MB, 5, LANES)
+            byts = (
+                t5[:, 0]
+                + 3 * t5[:, 1]
+                + 9 * t5[:, 2]
+                + 27 * t5[:, 3]
+                + 81 * t5[:, 4]
+            )
+        else:
+            byts = jnp.stack(
+                [jax.lax.shift_right_logical(buf, 8 * k) & 0xFF for k in range(4)],
+                axis=1,
+            ).reshape(Wf * 4, LANES)[:MB]
+        bytes_ref[0] = byts.astype(jnp.uint8)
+        nbytes_ref[0] = lens // bpd  # total digits; bytes derived outside
 
-    return kernel, Wf
+    return kernel, Wf, MB
 
 
 @functools.partial(jax.jit, static_argnames=("arity", "interpret"))
@@ -155,13 +179,13 @@ def _encode_pallas(
     interpret: bool = False,
 ):
     B = syms_t.shape[0]
-    kernel, Wf = _make_kernel(arity)
+    kernel, Wf, MB = _make_kernel(arity)
     C = CHUNK_SYMS
     usyms = usyms[:, None, :]
     upacked = upacked[:, None, :]
     ubits = ubits[:, None, :]
     meta = meta[:, None, :]
-    words, totbits = pl.pallas_call(
+    byts, nbytes = pl.pallas_call(
         kernel,
         grid=(B,),
         in_specs=[
@@ -172,16 +196,16 @@ def _encode_pallas(
             pl.BlockSpec((1, C, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, Wf, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, MB, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, Wf, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((B, MB, LANES), jnp.uint8),
             jax.ShapeDtypeStruct((B, 1, LANES), jnp.int32),
         ],
         interpret=interpret,
     )(usyms, upacked, ubits, meta, syms_t)
-    return words, totbits
+    return byts, nbytes
 
 
 def prep_tables(tables: List[CanonicalTable]) -> Tuple[np.ndarray, ...]:
@@ -228,7 +252,7 @@ def encode_blocks_pallas(
     syms_t = jnp.transpose(
         jnp.asarray(blocks).reshape(B, LANES, C), (0, 2, 1)
     )  # [B, C, 128]
-    words, totbits = _encode_pallas(
+    byts, nbytes = _encode_pallas(
         syms_t,
         jnp.asarray(usyms),
         jnp.asarray(upacked),
@@ -237,11 +261,8 @@ def encode_blocks_pallas(
         arity=arity,
         interpret=interpret,
     )
-    # [B, Wf, 128] -> [B*128, Wf] (chunk-major) -> wire bytes
-    buf = jnp.transpose(words, (0, 2, 1)).reshape(B * LANES, -1)
-    out = words_to_wire_bytes(buf, arity, cap_digits)
-    total_digits = (
-        jnp.transpose(totbits, (0, 2, 1)).reshape(B * LANES) // bpd
-    )
+    # [B, MB, 128] u8 -> [B*128, MB] (chunk-major wire payloads)
+    out = jnp.transpose(byts, (0, 2, 1)).reshape(B * LANES, -1)
+    total_digits = jnp.transpose(nbytes, (0, 2, 1)).reshape(B * LANES)
     nbytes = -(-total_digits // D)
     return out, nbytes, total_digits
