@@ -132,6 +132,49 @@ def main() -> int:
     ratio = comp_bytes / nbytes
     copy_bw = measure_envelope()
 
+    # decode: device-resident kernel timing (host<->device transfer in
+    # this container is tunnel-bound and not representative)
+    decode_gbps = None
+    if path == "pallas" and arity == 2:
+        from data_compression_tpu.huffman.canonical import build_decode_tables
+        from data_compression_tpu.ops.pallas import decode_kernel as dk
+        from data_compression_tpu.ops.pallas.encode_kernel import LANES
+
+        out0, nb0 = run()[:2]
+        packed_np, nb_np = np.asarray(out0), np.asarray(nb0)
+        pay = np.zeros((B * LANES, dk.MBP), np.uint8)
+        pay[np.arange(dk.MBP)[None, :] < nb_np[:, None]] = np.concatenate(
+            [packed_np[k, : nb_np[k]] for k in range(B * LANES)]
+        )
+        payload_t = jnp.transpose(
+            jnp.asarray(pay.reshape(B, LANES, dk.MBP)), (0, 2, 1)
+        )
+        limit = np.zeros((B, 1, dk.L + 1), np.int32)
+        bmf = np.zeros((B, 1, dk.L + 1), np.int32)
+        symt = np.zeros((B, 1, 256), np.int32)
+        for b, t in enumerate(tables):
+            d = build_decode_tables(t, pad_to=dk.L)
+            limit[b, 0] = d["limit_scaled"]
+            bmf[b, 0] = d["base_minus_first"]
+            symt[b, 0] = d["symbols"]
+        meta = np.zeros((B, 1, 2), np.int32)
+        meta[:, 0, 0] = lengths.astype(np.int32)
+        dargs = (
+            payload_t,
+            jnp.asarray(limit),
+            jnp.asarray(bmf),
+            jnp.asarray(symt),
+            jnp.asarray(meta),
+        )
+        jax.block_until_ready(dargs)
+        jax.block_until_ready(dk._decode_pallas(*dargs))
+        dts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(dk._decode_pallas(*dargs))
+            dts.append(time.perf_counter() - t0)
+        decode_gbps = nbytes / min(dts) / 1e9
+
     result = {
         "metric": f"huffman{arity}_encode_gbps_per_chip",
         "value": round(gbps, 4),
@@ -147,6 +190,7 @@ def main() -> int:
             "device": str(jax.devices()[0]),
             "platform_copy_gbps": round(copy_bw, 3),
             "fraction_of_copy_bw": round(gbps / max(copy_bw, 1e-9), 4),
+            "decode_device_gbps": round(decode_gbps, 4) if decode_gbps else None,
             "note": "tunnel executes ~1000x below real v5e (measured); "
             "fraction_of_copy_bw normalizes for platform speed",
         },

@@ -47,11 +47,10 @@ L = ARITY_MAX_LEN[2]  # 15
 C = CHUNK_SYMS  # 512
 CAP = _cap_digits(C, 2)  # 7680 digits
 MB = max_chunk_bytes(C, 2)  # 960 payload bytes per chunk
-SEG = 1024  # digits per segment (= 128 payload bytes)
-NSEG = CAP // SEG  # 7.5 -> pad: use 8 segments of 1024 over padded 8192
+SEG = 512  # digits per segment (= 64 payload bytes)
 CAPP = 8192  # padded digit capacity (payload padded to 1024 bytes)
 MBP = CAPP // 8  # 1024 padded payload bytes
-NSEGP = CAPP // SEG  # 8
+NSEGP = CAPP // SEG  # 16
 WALK_UNROLL = 8
 
 # per-segment compaction: SEG items of 0/8 bits -> up to C*8 bits
@@ -89,8 +88,21 @@ def _digits_for_segment(pay, s):
     return bits[: SEG + L + 1]
 
 
-def _kernel(limit_ref, bmf_ref, syms_ref, meta_ref, payload_ref, out_ref,
-            ln_scratch, item_scratch, seg_words_ref, seg_bits_ref):
+def _make_kernel(stages: int = 4):
+    """stages: profiling ablation — 1: window/length/rank only,
+    2: + boundary walk, 3: + compaction, 4: full (rank->symbol)."""
+
+    def kernel(limit_ref, bmf_ref, syms_ref, meta_ref, payload_ref, out_ref,
+               ln_scratch, item_scratch, seg_words_ref, seg_bits_ref):
+        _kernel_body(stages, limit_ref, bmf_ref, syms_ref, meta_ref,
+                     payload_ref, out_ref, ln_scratch, item_scratch,
+                     seg_words_ref, seg_bits_ref)
+
+    return kernel
+
+
+def _kernel_body(stages, limit_ref, bmf_ref, syms_ref, meta_ref, payload_ref,
+                 out_ref, ln_scratch, item_scratch, seg_words_ref, seg_bits_ref):
     raw_len = meta_ref[0, 0, 0]
     pay = payload_ref[0].astype(jnp.int32)  # [MBP, 128]
 
@@ -113,6 +125,10 @@ def _kernel(limit_ref, bmf_ref, syms_ref, meta_ref, payload_ref, out_ref,
             )
         ln_scratch[pl.ds(s * SEG, SEG), :] = ln
         item_scratch[pl.ds(s * SEG, SEG), :] = rank
+
+    if stages <= 1:
+        out_ref[0] = jnp.zeros((C, LANES), jnp.uint8)
+        return
 
     # pass 4: boundary walk; rewrites item_scratch rows in place to
     # rank+1 at real codeword boundaries, 0 elsewhere.
@@ -143,6 +159,10 @@ def _kernel(limit_ref, bmf_ref, syms_ref, meta_ref, payload_ref, out_ref,
         walk,
         (jnp.zeros((1, LANES), jnp.int32), jnp.zeros((1, LANES), jnp.int32)),
     )
+
+    if stages <= 2:
+        out_ref[0] = jnp.zeros((C, LANES), jnp.uint8)
+        return
 
     # pass 5a: per-segment compaction
     sched = _seg_merge_sched()
@@ -182,6 +202,10 @@ def _kernel(limit_ref, bmf_ref, syms_ref, meta_ref, payload_ref, out_ref,
         [jax.lax.shift_right_logical(buf, 8 * k) & 0xFF for k in range(4)], axis=1
     ).reshape(C, LANES)
 
+    if stages <= 3:
+        out_ref[0] = rb.astype(jnp.uint8)
+        return
+
     # pass 6: rank -> symbol
     out = jnp.zeros((C, LANES), jnp.int32)
 
@@ -189,14 +213,14 @@ def _kernel(limit_ref, bmf_ref, syms_ref, meta_ref, payload_ref, out_ref,
         return jnp.where(rb == r, syms_ref[0, 0, r], out)
 
     out = jax.lax.fori_loop(0, 256, body, out)
-    out_ref[0] = out
+    out_ref[0] = out.astype(jnp.uint8)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _decode_pallas(payload_t, limit, bmf, syms, meta, *, interpret=False):
+@functools.partial(jax.jit, static_argnames=("interpret", "stages"))
+def _decode_pallas(payload_t, limit, bmf, syms, meta, *, interpret=False, stages=4):
     B = payload_t.shape[0]
     return pl.pallas_call(
-        _kernel,
+        _make_kernel(stages),
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, 1, L + 1), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
@@ -208,7 +232,7 @@ def _decode_pallas(payload_t, limit, bmf, syms, meta, *, interpret=False):
         out_specs=pl.BlockSpec(
             (1, C, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((B, C, LANES), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((B, C, LANES), jnp.uint8),
         scratch_shapes=[
             pltpu.VMEM((CAPP, LANES), jnp.int32),  # ln
             pltpu.VMEM((CAPP, LANES), jnp.int32),  # rank -> items (in place)
@@ -227,17 +251,29 @@ def decode_blocks_pallas(
 ):
     """-> list of per-block decoded bytes (n=2, 64 KiB blocks)."""
     B = len(payloads_by_block)
-    pay = np.zeros((B, LANES, MBP), np.uint8)
+    # vectorized ragged->padded packing: boolean-mask assignment fills
+    # row-major, i.e. exactly concatenation order
+    nb = np.zeros(B * LANES, np.int64)
     for b, chunks in enumerate(payloads_by_block):
         for c, ch in enumerate(chunks):
-            pay[b, c, : len(ch)] = np.frombuffer(ch, np.uint8)
-    payload_t = jnp.transpose(jnp.asarray(pay), (0, 2, 1))  # [B, MBP, 128]
+            nb[b * LANES + c] = len(ch)
+    flat = np.frombuffer(
+        b"".join(ch for chunks in payloads_by_block for ch in chunks), np.uint8
+    )
+    pay = np.zeros((B * LANES, MBP), np.uint8)
+    pay[np.arange(MBP)[None, :] < nb[:, None]] = flat
+    payload_t = jnp.transpose(
+        jnp.asarray(pay.reshape(B, LANES, MBP)), (0, 2, 1)
+    )  # [B, MBP, 128]
 
     limit = np.zeros((B, 1, L + 1), np.int32)
     bmf = np.zeros((B, 1, L + 1), np.int32)
     syms = np.zeros((B, 1, 256), np.int32)
+    cache = {}
     for b, t in enumerate(tables):
-        d = build_decode_tables(t, pad_to=L)
+        if id(t) not in cache:
+            cache[id(t)] = build_decode_tables(t, pad_to=L)
+        d = cache[id(t)]
         limit[b, 0] = d["limit_scaled"]
         bmf[b, 0] = d["base_minus_first"]
         syms[b, 0] = d["symbols"]
@@ -252,8 +288,7 @@ def decode_blocks_pallas(
         jnp.asarray(meta),
         interpret=interpret,
     )
-    out = np.asarray(jnp.transpose(out, (0, 2, 1)))  # [B, 128, C]
+    out = np.asarray(jnp.transpose(out, (0, 2, 1)))  # [B, 128, C] u8
     return [
-        out[b].reshape(-1)[: int(raw_lens[b])].astype(np.uint8).tobytes()
-        for b in range(B)
+        out[b].reshape(-1)[: int(raw_lens[b])].tobytes() for b in range(B)
     ]
