@@ -92,6 +92,16 @@ def _mshl(b, nbits):
     return lo | carry
 
 
+LOOKUP_UNROLL = 8
+
+# For arity 2 and 16 the (code, length) pair fits one int32
+# (15 + 4 bits / 28 + 3 bits), so the used-symbol lookup loop needs a
+# single select per entry; arity 3 codes are 30 bits and keep separate
+# code/length selects.  The combined-table shift is the max field width.
+PACKED_LEN_SHIFT = {2: ARITY_MAX_LEN[2] * BITS_PER_DIGIT[2],
+                    16: ARITY_MAX_LEN[16] * BITS_PER_DIGIT[16]}
+
+
 def _make_kernel(arity: int):
     sched, Wf = _levels(arity)
     C = CHUNK_SYMS
@@ -99,6 +109,7 @@ def _make_kernel(arity: int):
     D = ARITY_DIGITS_PER_BYTE[arity]
     cap_digits = _cap_digits(C, arity)
     MB = cap_digits // D  # wire bytes per chunk
+    sh = PACKED_LEN_SHIFT.get(arity)
 
     def kernel(usyms_ref, upacked_ref, ubits_ref, meta_ref, syms_ref,
                bytes_ref, nbytes_ref):
@@ -106,17 +117,36 @@ def _make_kernel(arity: int):
         K = meta_ref[0, 0, 0]
         raw_len = meta_ref[0, 0, 1]
 
-        def body(k, carry):
-            w, l = carry
-            v = usyms_ref[0, 0, k]
-            m = s == v
-            w = jnp.where(m, upacked_ref[0, 0, k], w)
-            l = jnp.where(m, ubits_ref[0, 0, k], l)
-            return (w, l)
+        # Used-symbol lookup: the dominant stage.  Unrolled x8 (host
+        # pads the list with a never-matching sentinel) to amortize
+        # loop overhead; one packed select per entry when it fits.
+        if sh is not None:
+            def body(k8, p):
+                base = k8 * LOOKUP_UNROLL
+                for u in range(LOOKUP_UNROLL):
+                    p = jnp.where(s == usyms_ref[0, 0, base + u],
+                                  upacked_ref[0, 0, base + u], p)
+                return p
 
-        w0 = jnp.zeros((C, LANES), jnp.int32)
-        l0 = jnp.zeros((C, LANES), jnp.int32)
-        w, l = jax.lax.fori_loop(0, K, body, (w0, l0))
+            p = jax.lax.fori_loop(
+                0, (K + LOOKUP_UNROLL - 1) // LOOKUP_UNROLL, body,
+                jnp.zeros((C, LANES), jnp.int32))
+            l = jax.lax.shift_right_logical(p, sh)
+            w = p & ((1 << sh) - 1)
+        else:
+            def body(k8, carry):
+                w, l = carry
+                base = k8 * LOOKUP_UNROLL
+                for u in range(LOOKUP_UNROLL):
+                    m = s == usyms_ref[0, 0, base + u]
+                    w = jnp.where(m, upacked_ref[0, 0, base + u], w)
+                    l = jnp.where(m, ubits_ref[0, 0, base + u], l)
+                return (w, l)
+
+            w0 = jnp.zeros((C, LANES), jnp.int32)
+            l0 = jnp.zeros((C, LANES), jnp.int32)
+            w, l = jax.lax.fori_loop(
+                0, (K + LOOKUP_UNROLL - 1) // LOOKUP_UNROLL, body, (w0, l0))
 
         # mask positions past the block's valid length: chunk = lane,
         # count per lane = clip(raw_len - lane*C, 0, C)
@@ -143,25 +173,35 @@ def _make_kernel(arity: int):
         buf = words[0]  # [Wf, 128] bit-field buffer
         # wire-byte conversion in VMEM (was an 18 ms XLA pass)
         if arity == 3:
-            # 2-bit fields -> trits -> 5 trits per byte
-            trits = jnp.stack(
-                [jax.lax.shift_right_logical(buf, 2 * k) & 3 for k in range(16)],
-                axis=1,
-            ).reshape(Wf * 16, LANES)[:cap_digits]
-            t5 = trits.reshape(MB, 5, LANES)
-            byts = (
-                t5[:, 0]
-                + 3 * t5[:, 1]
-                + 9 * t5[:, 2]
-                + 27 * t5[:, 3]
-                + 81 * t5[:, 4]
-            )
+            # 2-bit fields -> trits -> 5 trits per byte.  Segmented
+            # (60 words = 960 trits = 192 bytes per pass; LCM-aligned:
+            # 5 words = 80 trits = 16 bytes) so the expanded trit
+            # temporaries stay <1 MB — the whole-buffer expansion
+            # overflows the 16 MB VMEM scoped stack.
+            SEGW = 60
+            nb = SEGW * 16 // 5
+            for g in range(Wf // SEGW):
+                seg = jax.lax.slice(buf, (g * SEGW, 0), ((g + 1) * SEGW, LANES))
+                trits = jnp.stack(
+                    [jax.lax.shift_right_logical(seg, 2 * k) & 3
+                     for k in range(16)],
+                    axis=1,
+                ).reshape(SEGW * 16, LANES)
+                t5 = trits.reshape(nb, 5, LANES)
+                byts = (
+                    t5[:, 0]
+                    + 3 * t5[:, 1]
+                    + 9 * t5[:, 2]
+                    + 27 * t5[:, 3]
+                    + 81 * t5[:, 4]
+                )
+                bytes_ref[0, g * nb:(g + 1) * nb, :] = byts.astype(jnp.uint8)
         else:
             byts = jnp.stack(
                 [jax.lax.shift_right_logical(buf, 8 * k) & 0xFF for k in range(4)],
                 axis=1,
             ).reshape(Wf * 4, LANES)[:MB]
-        bytes_ref[0] = byts.astype(jnp.uint8)
+            bytes_ref[0] = byts.astype(jnp.uint8)
         nbytes_ref[0] = lens // bpd  # total digits; bytes derived outside
 
     return kernel, Wf, MB
@@ -247,6 +287,11 @@ def encode_blocks_pallas(
     cap_digits = _cap_digits(C, arity)
 
     usyms, upacked, ubits, count = prep_tables(tables)
+    sh = PACKED_LEN_SHIFT.get(arity)
+    if sh is not None:
+        upacked = (
+            (ubits.astype(np.int64) << sh) | upacked.astype(np.int64)
+        ).astype(np.int32)
     meta = np.stack([count, np.asarray(raw_lens, np.int32)], axis=1).astype(np.int32)
 
     syms_t = jnp.transpose(
