@@ -103,10 +103,14 @@ def _make_kernel(stages: int = 4):
 
 def _kernel_body(stages, limit_ref, bmf_ref, syms_ref, meta_ref, payload_ref,
                  out_ref, ln_scratch, item_scratch, seg_words_ref, seg_bits_ref):
-    raw_len = meta_ref[0, 0, 0]
     pay = payload_ref[0].astype(jnp.int32)  # [MBP, 128]
 
-    # passes 1-3, segment by segment; item_scratch holds rank for now
+    # passes 1-3, segment by segment.  ln_scratch holds (code length -
+    # 1) and item_scratch (rank & 0xFF) + 1 — exactly the values the
+    # walk emits, so the walk body stays at 4 ops per digit.  The &0xFF
+    # clamp keeps garbage ranks at pad positions from spilling past
+    # their 8-bit item field in the compaction merge; real ranks are
+    # < 256 by Kraft.
     for s in range(NSEGP):
         d = _digits_for_segment(pay, s)  # [SEG+L+1, 128]
         W = jnp.zeros((SEG, LANES), jnp.int32)
@@ -123,41 +127,37 @@ def _kernel_body(stages, limit_ref, bmf_ref, syms_ref, meta_ref, payload_ref,
                 bmf_ref[0, 0, l] + jax.lax.shift_right_logical(W, L - l),
                 rank,
             )
-        ln_scratch[pl.ds(s * SEG, SEG), :] = ln
-        item_scratch[pl.ds(s * SEG, SEG), :] = rank
+        ln_scratch[pl.ds(s * SEG, SEG), :] = ln - 1
+        item_scratch[pl.ds(s * SEG, SEG), :] = (rank & 0xFF) + 1
 
     if stages <= 1:
         out_ref[0] = jnp.zeros((C, LANES), jnp.uint8)
         return
 
     # pass 4: boundary walk; rewrites item_scratch rows in place to
-    # rank+1 at real codeword boundaries, 0 elsewhere.
-    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
-    cc = jnp.clip(raw_len - lane1 * C, 0, C)
+    # rank+1 at codeword boundaries, 0 elsewhere.  No symbol-count
+    # guard: spurious boundaries can only arise in the zero-pad digits
+    # AFTER a chunk's last real codeword, so their items land in output
+    # slots past the chunk's symbol count, which reassembly discards
+    # (decode_blocks_pallas truncates each block to raw_len).
     BLK = 8
 
-    def walk(i, carry):
-        dist, cnt = carry
+    def walk(i, dist):
         base = pl.multiple_of(i * BLK, BLK)
-        lblk = ln_scratch[pl.ds(base, BLK), :]
-        rblk = item_scratch[pl.ds(base, BLK), :]
+        lblk = ln_scratch[pl.ds(base, BLK), :]  # len-1 rows
+        rblk = item_scratch[pl.ds(base, BLK), :]  # rank+1 rows
         rows = []
         for u in range(BLK):
             row_l = jax.lax.slice(lblk, (u, 0), (u + 1, LANES))
             row_r = jax.lax.slice(rblk, (u, 0), (u + 1, LANES))
-            b = (dist == 0) & (cnt < cc)
-            rows.append(jnp.where(b, row_r + 1, 0))
-            bi = b.astype(jnp.int32)
-            dist = jnp.where(dist == 0, row_l - 1, dist - 1)
-            cnt = cnt + bi
+            b = dist == 0
+            rows.append(jnp.where(b, row_r, 0))
+            dist = jnp.where(b, row_l, dist - 1)
         item_scratch[pl.ds(base, BLK), :] = jnp.concatenate(rows, axis=0)
-        return (dist, cnt)
+        return dist
 
     jax.lax.fori_loop(
-        0,
-        CAPP // BLK,
-        walk,
-        (jnp.zeros((1, LANES), jnp.int32), jnp.zeros((1, LANES), jnp.int32)),
+        0, CAPP // BLK, walk, jnp.zeros((1, LANES), jnp.int32)
     )
 
     if stages <= 2:
@@ -206,13 +206,19 @@ def _kernel_body(stages, limit_ref, bmf_ref, syms_ref, meta_ref, payload_ref,
         out_ref[0] = rb.astype(jnp.uint8)
         return
 
-    # pass 6: rank -> symbol
+    # pass 6: rank -> symbol, bounded by the table's used-symbol count
+    # (meta slot 1) and unrolled x8; real slots always carry rank < S,
+    # so the iterations past S only touch discarded garbage slots.
+    S_used = meta_ref[0, 0, 1]
     out = jnp.zeros((C, LANES), jnp.int32)
 
-    def body(r, out):
-        return jnp.where(rb == r, syms_ref[0, 0, r], out)
+    def body(r8, out):
+        base = r8 * 8
+        for u in range(8):
+            out = jnp.where(rb == base + u, syms_ref[0, 0, base + u], out)
+        return out
 
-    out = jax.lax.fori_loop(0, 256, body, out)
+    out = jax.lax.fori_loop(0, (S_used + 7) // 8, body, out)
     out_ref[0] = out.astype(jnp.uint8)
 
 
@@ -269,6 +275,7 @@ def decode_blocks_pallas(
     limit = np.zeros((B, 1, L + 1), np.int32)
     bmf = np.zeros((B, 1, L + 1), np.int32)
     syms = np.zeros((B, 1, 256), np.int32)
+    used = np.zeros(B, np.int32)
     cache = {}
     for b, t in enumerate(tables):
         if id(t) not in cache:
@@ -277,8 +284,10 @@ def decode_blocks_pallas(
         limit[b, 0] = d["limit_scaled"]
         bmf[b, 0] = d["base_minus_first"]
         syms[b, 0] = d["symbols"]
+        used[b] = t.sorted_symbols.size
     meta = np.zeros((B, 1, 2), np.int32)
     meta[:, 0, 0] = np.asarray(raw_lens, np.int32)
+    meta[:, 0, 1] = used
 
     out = _decode_pallas(
         payload_t,
