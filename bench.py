@@ -143,7 +143,6 @@ def main() -> int:
     # decode: device-resident fused kernel, same chained methodology
     decode_gbps = None
     if arity == 2:
-        from data_compression_tpu.huffman.canonical import build_decode_tables
         from data_compression_tpu.ops.pallas import decode_kernel as dk
         from data_compression_tpu.ops.pallas.encode_kernel import (
             encode_blocks_pallas,
@@ -153,30 +152,20 @@ def main() -> int:
             jnp.asarray(blocks), lengths, tables, arity
         )
         packed_np, nb_np = np.asarray(out0), np.asarray(nb_chunks)
-        pay = np.zeros((B * LANES, dk.MBP), np.uint8)
-        pay[np.arange(dk.MBP)[None, :] < nb_np[:, None]] = np.concatenate(
-            [packed_np[k, : nb_np[k]] for k in range(B * LANES)]
-        )
-        payload_t = jnp.transpose(
-            jnp.asarray(pay.reshape(B, LANES, dk.MBP)), (0, 2, 1)
-        )
-        limit = np.zeros((B, 1, dk.L + 1), np.int32)
-        bmf = np.zeros((B, 1, dk.L + 1), np.int32)
-        symt = np.zeros((B, 1, 256), np.int32)
-        for b, t in enumerate(tables):
-            d = build_decode_tables(t, pad_to=dk.L)
-            limit[b, 0] = d["limit_scaled"]
-            bmf[b, 0] = d["base_minus_first"]
-            symt[b, 0] = d["symbols"]
-        dmeta = np.zeros((B, 1, 2), np.int32)
-        dmeta[:, 0, 0] = lengths.astype(np.int32)
-        dl, db, dsym, dm = map(jnp.asarray, (limit, bmf, symt, dmeta))
+        payloads = [
+            [
+                packed_np[b * LANES + c, : nb_np[b * LANES + c]].tobytes()
+                for c in range(LANES)
+            ]
+            for b in range(B)
+        ]
+        payload_t, dl, db, dsym, dm = dk.prep_decode_inputs(payloads, tables)
 
         @jax.jit
         def decode_step(p):
-            out = dk._decode_pallas(p, dl, db, dsym, dm)  # [B, C, 128] u8
-            mix = jnp.tile(out, (1, dk.MBP // out.shape[1] + 1, 1))[
-                :, : dk.MBP, :
+            out = dk._decode_pallas(p, dl, db, dsym, dm)  # [NC, 8C, 128]
+            mix = jnp.tile(out, (1, p.shape[1] // out.shape[1] + 1, 1))[
+                :, : p.shape[1], :
             ]
             return p ^ mix
 
