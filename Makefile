@@ -19,6 +19,21 @@ native: $(NATIVE_SO)
 $(NATIVE_SO): $(NATIVE_SRC)
 	$(CC) $(CFLAGS) -o $@ $<
 
+# sanitizer build of the native library (the reference is single-file C
+# with no sanitizer hooks; SURVEY.md §5 carries the lint intent of its
+# Makefile:18-21 into an ASan/UBSan build for the C oracle)
+native-asan:
+	$(CC) -O1 -g -fsanitize=address,undefined -fno-omit-frame-pointer \
+	  -shared -fPIC -Wall -Wextra \
+	  -o data_compression_tpu/native/libdctpu_asan.so $(NATIVE_SRC)
+
+# run the native parity tests against the sanitizer build
+test-asan: native-asan
+	DCTPU_NATIVE_LIB=data_compression_tpu/native/libdctpu_asan.so \
+	LD_PRELOAD=$$($(CC) -print-file-name=libasan.so) \
+	ASAN_OPTIONS=detect_leaks=0 \
+	$(PY) -m pytest tests/test_native.py -x -q
+
 test: native
 	$(PY) -m pytest tests/ -x -q
 

@@ -80,6 +80,18 @@ def main(argv=None) -> int:
     sp = sub.add_parser("info", help="print stream header as JSON")
     sp.add_argument("input")
 
+    sp = sub.add_parser(
+        "armor", help="encode bytes as printable text (base64url or z85)"
+    )
+    sp.add_argument("-a", "--alphabet", default="base64url",
+                    choices=["base64url", "z85"])
+    sp.add_argument("input")
+    sp.add_argument("output")
+
+    sp = sub.add_parser("dearmor", help="decode printable armor to bytes")
+    sp.add_argument("input")
+    sp.add_argument("output")
+
     args = p.parse_args(argv)
 
     if args.cmd == "compress":
@@ -121,6 +133,22 @@ def main(argv=None) -> int:
             file=sys.stderr,
         )
         return 0 if ok else 1
+
+    if args.cmd == "armor":
+        from data_compression_tpu.utils import base64url as b64
+
+        data = _read(args.input)
+        text = b64.armor(data) if args.alphabet == "base64url" else b64.z85_armor(data)
+        _write(args.output, text.encode("ascii"))
+        return 0
+
+    if args.cmd == "dearmor":
+        from data_compression_tpu.utils import base64url as b64
+
+        text = _read(args.input).decode("ascii")
+        out = b64.z85_dearmor(text) if text.startswith("DCZ:") else b64.dearmor(text)
+        _write(args.output, out)
+        return 0
 
     if args.cmd == "info":
         frame = framing.unpack_frame(_read(args.input))

@@ -16,7 +16,9 @@ from typing import Optional
 
 _HERE = os.path.dirname(__file__)
 _SRC = os.path.join(_HERE, "libdctpu.c")
-_SO = os.path.join(_HERE, "libdctpu.so")
+# DCTPU_NATIVE_LIB overrides the library path (e.g. the ASan build from
+# `make native-asan`)
+_SO = os.environ.get("DCTPU_NATIVE_LIB") or os.path.join(_HERE, "libdctpu.so")
 
 _lock = threading.Lock()
 _lib = None

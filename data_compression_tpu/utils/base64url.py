@@ -90,3 +90,63 @@ def dearmor(text: str) -> bytes:
     if len(out) < nbytes:
         raise ValueError("truncated armor")
     return bytes(out[:nbytes])
+
+
+# --- Z85 armor -------------------------------------------------------
+# The reference carries dormant Ascii85/Z85 digit tables inside an
+# ``#if(0)`` block of int2digit (n_ary_huffman.c:371-428, the author's
+# noted alternative alphabets).  Realized here as a working armor
+# variant: ZeroMQ Z85 (4 bytes -> 5 printable chars, 25% overhead vs
+# base64url's 33%).
+
+_Z85 = (
+    "0123456789abcdefghijklmnopqrstuvwxyz"
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    ".-:+=^!/*?&<>()[]{}@%$#"
+)
+_Z85_DECODE = {c: i for i, c in enumerate(_Z85)}
+_Z85_MAGIC = "DCZ"
+
+
+def z85_armor(data: bytes) -> str:
+    """Encode bytes as Z85 text (frame: 'DCZ:<len>\\n' body '\\n.\\n')."""
+    pad = (-len(data)) % 4
+    buf = data + b"\x00" * pad
+    digits = []
+    for i in range(0, len(buf), 4):
+        v = int.from_bytes(buf[i : i + 4], "big")
+        for p in (85**4, 85**3, 85**2, 85, 1):
+            digits.append(_Z85[(v // p) % 85])
+    body = "".join(digits)
+    lines = [body[i : i + _LINE] for i in range(0, max(len(body), 1), _LINE)] or [""]
+    return _Z85_MAGIC + ":" + str(len(data)) + "\n" + "\n".join(lines) + "\n~\n"
+
+
+def z85_dearmor(text: str) -> bytes:
+    """Inverse of z85_armor (whitespace-tolerant)."""
+    head, _, rest = text.partition("\n")
+    if not head.startswith(_Z85_MAGIC + ":"):
+        raise ValueError("bad z85 armor header")
+    nbytes = int(head[len(_Z85_MAGIC) + 1 :])
+    out = bytearray()
+    group = 0
+    ndig = 0
+    for c in rest:
+        if c in " \t\r\n":
+            continue
+        if c == "~":
+            break
+        try:
+            group = group * 85 + _Z85_DECODE[c]
+        except KeyError:
+            raise ValueError(f"not a z85 digit: {c!r}") from None
+        ndig += 1
+        if ndig == 5:
+            out += group.to_bytes(4, "big")
+            group = 0
+            ndig = 0
+    if ndig:
+        raise ValueError("truncated z85 group")
+    if len(out) < nbytes:
+        raise ValueError("truncated armor")
+    return bytes(out[:nbytes])

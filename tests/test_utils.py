@@ -78,3 +78,27 @@ def test_codec_stats():
     s.literal()
     assert "66.7% predicted" in s.summary()
     assert s.times_used_directly[3] == 2
+
+
+def test_z85_armor_roundtrip(rng):
+    from data_compression_tpu.utils.base64url import z85_armor, z85_dearmor
+
+    for size in (0, 1, 4, 7, 1000):
+        data = rng.integers(0, 256, size=size, dtype="uint8").tobytes()
+        text = z85_armor(data)
+        assert text.isascii() and text.isprintable() or "\n" in text
+        assert z85_dearmor(text) == data
+
+
+def test_armor_cli(tmp_path, rng):
+    from data_compression_tpu.cli import main
+
+    data = rng.integers(0, 256, size=333, dtype="uint8").tobytes()
+    src = tmp_path / "in.bin"
+    src.write_bytes(data)
+    for alpha in ("base64url", "z85"):
+        a = tmp_path / f"a.{alpha}"
+        b = tmp_path / f"b.{alpha}"
+        assert main(["armor", "-a", alpha, str(src), str(a)]) == 0
+        assert main(["dearmor", str(a), str(b)]) == 0
+        assert b.read_bytes() == data
