@@ -100,14 +100,21 @@ def main() -> int:
     ).astype(np.int64)
     tables = [lengths_to_codes(capped_lengths(hists[i], arity), arity) for i in range(B)]
 
+    from data_compression_tpu.config import ARITY_MAX_LEN
     from data_compression_tpu.ops.pallas.encode_kernel import (
         CHUNK_SYMS,
         LANES,
+        MAXLEN_BUCKETS,
         PACKED_LEN_SHIFT,
         _encode_pallas,
         prep_tables,
     )
 
+    actual_max = max(int(t.max_len) for t in tables)
+    maxlen = min(
+        next((m for m in MAXLEN_BUCKETS if m >= actual_max), ARITY_MAX_LEN[arity]),
+        ARITY_MAX_LEN[arity],
+    )
     usyms, upacked, ubits, count = prep_tables(tables)
     sh = PACKED_LEN_SHIFT.get(arity)
     if sh is not None:
@@ -122,7 +129,7 @@ def main() -> int:
 
     @jax.jit
     def encode_step(s):
-        byts, nb = _encode_pallas(s, u1, u2, u3, mt, arity=arity)
+        byts, nb = _encode_pallas(s, u1, u2, u3, mt, arity=arity, maxlen=maxlen)
         mix = jnp.tile(byts, (1, CHUNK_SYMS // byts.shape[1] + 1, 1))[
             :, :CHUNK_SYMS, :
         ]
@@ -132,7 +139,7 @@ def main() -> int:
     gbps = nbytes / best / 1e9
 
     # compressed size from one straight run
-    byts0, nb0 = _encode_pallas(syms_t, u1, u2, u3, mt, arity=arity)
+    byts0, nb0 = _encode_pallas(syms_t, u1, u2, u3, mt, arity=arity, maxlen=maxlen)
     from data_compression_tpu.config import ARITY_DIGITS_PER_BYTE
 
     total_digits = np.asarray(nb0).reshape(-1)

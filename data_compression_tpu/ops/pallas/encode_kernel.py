@@ -42,9 +42,19 @@ CHUNK_SYMS = 512  # 128 chunks x 512 symbols = 64 KiB block
 LANES = 128
 
 
-def _levels(arity: int):
-    """Static (W, W2) schedule of the merge tree."""
-    maxf = ARITY_MAX_LEN[arity] * BITS_PER_DIGIT[arity]
+MAXLEN_BUCKETS = (8, 10, 12, 15)  # compile-time merge-capacity tiers
+
+
+def _levels(arity: int, maxlen: int | None = None):
+    """Static (W, W2) schedule of the merge tree.
+
+    ``maxlen`` specializes level capacities to the batch's actual max
+    code length (host picks the smallest bucket that fits) — the wire
+    output is identical, the capacities are upper bounds, but text
+    tables (max len ~12) skip ~20% of the deep-level word traffic."""
+    if maxlen is None:
+        maxlen = ARITY_MAX_LEN[arity]
+    maxf = maxlen * BITS_PER_DIGIT[arity]
     cap_bits = _cap_digits(CHUNK_SYMS, arity) * BITS_PER_DIGIT[arity]
     Wf = -(-cap_bits // 32)
     sched = []
@@ -102,8 +112,8 @@ PACKED_LEN_SHIFT = {2: ARITY_MAX_LEN[2] * BITS_PER_DIGIT[2],
                     16: ARITY_MAX_LEN[16] * BITS_PER_DIGIT[16]}
 
 
-def _make_kernel(arity: int):
-    sched, Wf = _levels(arity)
+def _make_kernel(arity: int, maxlen: int | None = None):
+    sched, Wf = _levels(arity, maxlen)
     C = CHUNK_SYMS
     bpd = BITS_PER_DIGIT[arity]
     D = ARITY_DIGITS_PER_BYTE[arity]
@@ -170,7 +180,9 @@ def _make_kernel(arity: int):
                 b = jnp.pad(b, padw)
             words = a | _mshl(b, la[:, None, :])
             lens = la + lb
-        buf = words[0]  # [Wf, 128] bit-field buffer
+        buf = words[0]  # [W_last, 128] bit-field buffer
+        if buf.shape[0] < Wf:  # maxlen-specialized schedule: upper words 0
+            buf = jnp.pad(buf, [(0, Wf - buf.shape[0]), (0, 0)])
         # wire-byte conversion in VMEM (was an 18 ms XLA pass)
         if arity == 3:
             # 2-bit fields -> trits -> 5 trits per byte.  Segmented
@@ -207,7 +219,7 @@ def _make_kernel(arity: int):
     return kernel, Wf, MB
 
 
-@functools.partial(jax.jit, static_argnames=("arity", "interpret"))
+@functools.partial(jax.jit, static_argnames=("arity", "interpret", "maxlen"))
 def _encode_pallas(
     syms_t: jnp.ndarray,  # [B, C, 128] uint8/int32 (symbol-major)
     usyms: jnp.ndarray,  # [B, 256] int32 (pad 0x1FF)
@@ -217,9 +229,10 @@ def _encode_pallas(
     *,
     arity: int,
     interpret: bool = False,
+    maxlen: int | None = None,
 ):
     B = syms_t.shape[0]
-    kernel, Wf, MB = _make_kernel(arity)
+    kernel, Wf, MB = _make_kernel(arity, maxlen)
     C = CHUNK_SYMS
     usyms = usyms[:, None, :]
     upacked = upacked[:, None, :]
@@ -294,6 +307,12 @@ def encode_blocks_pallas(
         ).astype(np.int32)
     meta = np.stack([count, np.asarray(raw_lens, np.int32)], axis=1).astype(np.int32)
 
+    actual_max = max(int(t.max_len) for t in tables)
+    maxlen = next(
+        (m for m in MAXLEN_BUCKETS if m >= actual_max), ARITY_MAX_LEN[arity]
+    )
+    maxlen = min(maxlen, ARITY_MAX_LEN[arity])
+
     syms_t = jnp.transpose(
         jnp.asarray(blocks).reshape(B, LANES, C), (0, 2, 1)
     )  # [B, C, 128]
@@ -305,6 +324,7 @@ def encode_blocks_pallas(
         jnp.asarray(meta),
         arity=arity,
         interpret=interpret,
+        maxlen=maxlen,
     )
     # [B, MB, 128] u8 -> [B*128, MB] (chunk-major wire payloads)
     out = jnp.transpose(byts, (0, 2, 1)).reshape(B * LANES, -1)
