@@ -42,7 +42,7 @@ from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from data_compression_tpu.config import CODEC_IDS, CODEC_NAMES
+from data_compression_tpu.config import CODEC_NAMES
 from data_compression_tpu.utils.crc import crc32
 
 MAGIC = b"DCTZ"

@@ -48,7 +48,7 @@ chains; verified in tests/test_small.py).
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 

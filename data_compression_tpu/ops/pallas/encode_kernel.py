@@ -104,10 +104,14 @@ def _mshl(b, nbits):
 
 LOOKUP_UNROLL = 8
 
-# For arity 2 and 16 the (code, length) pair fits one int32
-# (15 + 4 bits / 28 + 3 bits), so the used-symbol lookup loop needs a
-# single select per entry; arity 3 codes are 30 bits and keep separate
-# code/length selects.  The combined-table shift is the max field width.
+# For arity 2 and 16 the (code, length) pair fits one int32, so the
+# used-symbol lookup loop needs a single select per entry; arity 3
+# codes are 30 bits and keep separate code/length selects.  The length
+# is packed as the DIGIT count (<= ARITY_MAX_LEN, 4 bits at n=2 /
+# 3 bits at n=16), never the bit count: at n=16 the bit count (lens*4,
+# max 28) needs 5 bits but only bits 28..30 sit above the code field,
+# so packing bits would truncate lengths 16/20/24/28 to 0/4/8/12.
+# The kernel recovers bits as digits * BITS_PER_DIGIT.
 PACKED_LEN_SHIFT = {2: ARITY_MAX_LEN[2] * BITS_PER_DIGIT[2],
                     16: ARITY_MAX_LEN[16] * BITS_PER_DIGIT[16]}
 
@@ -141,7 +145,7 @@ def _make_kernel(arity: int, maxlen: int | None = None):
             p = jax.lax.fori_loop(
                 0, (K + LOOKUP_UNROLL - 1) // LOOKUP_UNROLL, body,
                 jnp.zeros((C, LANES), jnp.int32))
-            l = jax.lax.shift_right_logical(p, sh)
+            l = jax.lax.shift_right_logical(p, sh) * bpd  # digits -> bits
             w = p & ((1 << sh) - 1)
         else:
             def body(k8, carry):
@@ -302,9 +306,11 @@ def encode_blocks_pallas(
     usyms, upacked, ubits, count = prep_tables(tables)
     sh = PACKED_LEN_SHIFT.get(arity)
     if sh is not None:
-        upacked = (
-            (ubits.astype(np.int64) << sh) | upacked.astype(np.int64)
-        ).astype(np.int32)
+        # pack digit count, not bit count (bit count overflows the
+        # field above the 28-bit code at n=16 — see PACKED_LEN_SHIFT)
+        udigits = ubits.astype(np.int64) // bpd
+        assert int(udigits.max(initial=0)) * bpd <= sh
+        upacked = ((udigits << sh) | upacked.astype(np.int64)).astype(np.int32)
     meta = np.stack([count, np.asarray(raw_lens, np.int32)], axis=1).astype(np.int32)
 
     actual_max = max(int(t.max_len) for t in tables)

@@ -22,8 +22,7 @@ bytes memcpy) on host.
 
 from __future__ import annotations
 
-import functools
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -33,11 +32,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from data_compression_tpu.config import ARITY_MAX_LEN, CodecConfig
 from data_compression_tpu.huffman.canonical import build_decode_tables, lengths_to_codes
 from data_compression_tpu.models.huffman import capped_lengths, _pack_payload
-from data_compression_tpu.ops.huffman_coding import (
-    decode_chunks,
-    encode_chunks,
-    max_chunk_bytes,
-)
+from data_compression_tpu.ops.huffman_coding import max_chunk_bytes
 
 
 def make_sharded_hist_step(mesh: Mesh):

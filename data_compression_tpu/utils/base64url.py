@@ -109,7 +109,7 @@ _Z85_MAGIC = "DCZ"
 
 
 def z85_armor(data: bytes) -> str:
-    """Encode bytes as Z85 text (frame: 'DCZ:<len>\\n' body '\\n.\\n')."""
+    """Encode bytes as Z85 text (frame: 'DCZ:<len>\\n' body '\\n~\\n')."""
     pad = (-len(data)) % 4
     buf = data + b"\x00" * pad
     digits = []

@@ -36,7 +36,6 @@ def test_device_matches_host_chunks(arity, rng):
     from data_compression_tpu.ops.huffman_coding import (
         decode_chunks,
         encode_chunks,
-        max_chunk_bytes,
     )
 
     C = 256

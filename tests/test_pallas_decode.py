@@ -1,7 +1,6 @@
 """Pallas decode kernel (interpret mode) must invert the encoders."""
 
 import numpy as np
-import pytest
 
 from data_compression_tpu.huffman.canonical import lengths_to_codes
 from data_compression_tpu.models.huffman import capped_lengths, encode_chunk_np

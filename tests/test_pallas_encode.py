@@ -9,6 +9,65 @@ from data_compression_tpu.models.huffman import capped_lengths, encode_chunk_np
 from tests.conftest import ascii_text
 
 
+def _skewed_block(rng, arity, size):
+    """One block whose histogram forces deep Huffman codes.
+
+    n=2: Fibonacci frequencies -> max_len 15 (top MAXLEN_BUCKET).
+    n=3: tribonacci-style chain -> max_len 10.
+    n=16: a x16-per-level chain (16^4 = 65536 = exactly one block)
+    -> max_len 4, the smallest depth whose packed (code, bit-length)
+    pair overflowed the old bit-count field (regression for the
+    arity-16 truncation bug)."""
+    if arity == 2:
+        fib = [1, 1]
+        for _ in range(14):
+            fib.append(fib[-1] + fib[-2])
+        w = np.array(fib, np.int64) * (size // sum(fib))
+        w[-1] += size - w.sum()
+    elif arity == 3:
+        w = np.array([1, 1, 1] + [3**k for k in range(1, 10) for _ in range(2)],
+                     np.int64)
+        r = size - w.sum()
+        w[-1] += r // 2
+        w[-2] += r - r // 2
+    else:
+        w = np.array([1] * 16 + [16] * 15 + [256] * 15 + [4096] * 15, np.int64)
+    assert w.sum() == size
+    data = np.repeat(np.arange(len(w), dtype=np.uint8), w)
+    rng.shuffle(data)
+    return data
+
+
+@pytest.mark.parametrize(
+    "arity,min_depth", [(2, 15), (3, 10), (16, 4)]
+)
+def test_pallas_deep_codes(arity, min_depth, rng):
+    """Exponentially skewed histograms: every symbol carries a code and
+    the deepest codes (max_len >= min_depth) appear in the data, so a
+    packed-length truncation in the kernel corrupts the wire output."""
+    from data_compression_tpu.ops.pallas.encode_kernel import (
+        CHUNK_SYMS,
+        LANES,
+        encode_blocks_pallas,
+    )
+
+    S = CHUNK_SYMS * LANES
+    data = _skewed_block(rng, arity, S).reshape(1, S)
+    raw_lens = np.array([S], np.int64)
+    freqs = np.bincount(data[0], minlength=256)
+    table = lengths_to_codes(capped_lengths(freqs, arity), arity)
+    assert table.max_len >= min_depth, "fixture lost its depth"
+
+    out, nbytes, _ = encode_blocks_pallas(
+        data, raw_lens, [table], arity, interpret=True
+    )
+    out, nbytes = np.asarray(out), np.asarray(nbytes)
+    C = CHUNK_SYMS
+    for c in range(LANES):
+        expect = encode_chunk_np(data[0, c * C : (c + 1) * C], table)
+        assert out[c, : nbytes[c]].tobytes() == expect, f"arity {arity} chunk {c}"
+
+
 @pytest.mark.parametrize("arity", [2, 3, 16])
 def test_pallas_matches_oracle(arity, rng):
     from data_compression_tpu.ops.pallas.encode_kernel import (

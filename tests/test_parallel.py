@@ -6,7 +6,7 @@ import jax
 import numpy as np
 import pytest
 
-from data_compression_tpu import compress, decompress
+from data_compression_tpu import compress
 from data_compression_tpu.config import CodecConfig
 from data_compression_tpu.parallel.mesh import make_mesh
 from data_compression_tpu.parallel.pipeline import (

@@ -86,7 +86,7 @@ def test_z85_armor_roundtrip(rng):
     for size in (0, 1, 4, 7, 1000):
         data = rng.integers(0, 256, size=size, dtype="uint8").tobytes()
         text = z85_armor(data)
-        assert text.isascii() and text.isprintable() or "\n" in text
+        assert all(ln.isascii() and ln.isprintable() for ln in text.splitlines())
         assert z85_dearmor(text) == data
 
 
