@@ -1,7 +1,11 @@
-"""True multi-process pipeline test: 2 processes x 4 virtual CPU
-devices, jax.distributed coordinator on localhost, cooperative
-compression via make_array_from_process_local_data, identical frames on
-every host, verified round-trip."""
+"""True multi-process pipeline tests: 2 processes x 4 virtual CPU
+devices, jax.distributed coordinator on localhost.
+
+Covers both directions of the multihost runtime: cooperative
+compression (per-block and shared-table modes — the latter exercises
+the in-jit cross-host histogram all-reduce), identical frames on every
+host, and cooperative decompression back to the original bytes on BOTH
+hosts."""
 
 import os
 import socket
@@ -26,19 +30,30 @@ assert len(jax.devices()) == 8, len(jax.devices())
 import numpy as np
 sys.path.insert(0, os.getcwd())
 from data_compression_tpu.config import CodecConfig
-from data_compression_tpu.parallel.multihost import compress_multihost_bytes
+from data_compression_tpu.parallel.multihost import (
+    compress_multihost_bytes,
+    decompress_multihost_bytes,
+)
 from data_compression_tpu.utils.corpora import synthetic_enwik
 
 data = synthetic_enwik(32 * 1024, seed=3)
-cfg = CodecConfig(codec="huffman", arity=2, block_size=4096, chunk_syms=512)
-out = compress_multihost_bytes(data, cfg)
 import hashlib
-print(f"RESULT {pid} {len(out)} {hashlib.sha256(out).hexdigest()}", flush=True)
-if pid == 0:
-    from data_compression_tpu import decompress
-    back = decompress(out, CodecConfig(chunk_syms=512, use_device=False))
-    assert back == data, "multihost roundtrip mismatch"
-    print("ROUNDTRIP OK", flush=True)
+for shared in (False, True):
+    cfg = CodecConfig(codec="huffman", arity=2, block_size=4096,
+                      chunk_syms=512, shared_table=shared)
+    out = compress_multihost_bytes(data, cfg)
+    tag = "SHARED" if shared else "PERBLK"
+    print(f"RESULT {tag} {pid} {len(out)} "
+          f"{hashlib.sha256(out).hexdigest()}", flush=True)
+    # cooperative decode on BOTH hosts
+    back = decompress_multihost_bytes(out, cfg)
+    assert back == data, f"multihost roundtrip mismatch ({tag})"
+    print(f"ROUNDTRIP {tag} {pid} OK", flush=True)
+    if pid == 0 and not shared:
+        # cross-check: single-process decode of the multihost frame
+        from data_compression_tpu import decompress
+        back1 = decompress(out, CodecConfig(chunk_syms=512, use_device=False))
+        assert back1 == data, "single-process decode mismatch"
 """
 
 
@@ -50,16 +65,15 @@ def _free_port():
     return port
 
 
-@pytest.mark.slow
-def test_two_process_compress(tmp_path):
+def _run_workers(script, nproc=2, timeout=600, extra_args=()):
     port = _free_port()
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
     procs = []
-    for pid in range(2):
+    for pid in range(nproc):
         procs.append(
             subprocess.Popen(
-                [sys.executable, "-c", _WORKER, str(port), str(pid)],
+                [sys.executable, "-c", script, str(port), str(pid), *extra_args],
                 stdout=subprocess.PIPE,
                 stderr=subprocess.PIPE,
                 text=True,
@@ -70,18 +84,29 @@ def test_two_process_compress(tmp_path):
     outs = []
     for p in procs:
         try:
-            out, err = p.communicate(timeout=600)
+            out, err = p.communicate(timeout=timeout)
         except subprocess.TimeoutExpired:
             p.kill()
             pytest.fail("multihost worker timed out")
         assert p.returncode == 0, f"worker failed:\n{err[-2000:]}"
         outs.append(out)
-    # identical stream on both hosts
+    return outs
+
+
+@pytest.mark.slow
+def test_two_process_roundtrip():
+    outs = _run_workers(_WORKER)
+    # identical stream on both hosts, both modes
     res = {}
     for out in outs:
         for line in out.splitlines():
             if line.startswith("RESULT"):
-                _, pid, ln, h = line.split()
-                res[pid] = (ln, h)
-    assert res["0"] == res["1"], f"hosts disagree: {res}"
-    assert "ROUNDTRIP OK" in outs[0] or "ROUNDTRIP OK" in outs[1]
+                _, tag, pid, ln, h = line.split()
+                res[(tag, pid)] = (ln, h)
+    for tag in ("PERBLK", "SHARED"):
+        assert res[(tag, "0")] == res[(tag, "1")], f"hosts disagree: {res}"
+    # cooperative decode succeeded on every host in both modes
+    joined = "\n".join(outs)
+    for tag in ("PERBLK", "SHARED"):
+        for pid in ("0", "1"):
+            assert f"ROUNDTRIP {tag} {pid} OK" in joined
