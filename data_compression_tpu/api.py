@@ -112,8 +112,97 @@ def roundtrip(data: BytesLike, config: Optional[CodecConfig] = None) -> bool:
     return decompress(compress(data, config), config) == _as_bytes(data)
 
 
-def compress_file(src: str, dst: str, config: Optional[CodecConfig] = None) -> dict:
+# ----------------------------------------------------------------------
+# Streaming drivers: bounded-memory IO over unbounded inputs
+# ----------------------------------------------------------------------
+
+DEFAULT_BATCH_BLOCKS = 256  # 16 MiB resident per batch at 64 KiB blocks
+
+
+def compress_stream(
+    fin,
+    fout,
+    config: Optional[CodecConfig] = None,
+    batch_blocks: int = DEFAULT_BATCH_BLOCKS,
+) -> dict:
+    """Compress a binary stream into a concatenation of independent
+    frames, holding at most ``batch_blocks`` blocks of input resident.
+
+    The reference never holds its input either — it loops 65,000-byte
+    blocks off stdin (n_ary_huffman.c:2508-2580, load_more_text
+    :1260-1294).  Here the bounded unit is a batch of blocks so the
+    device still sees large parallel batches; a 1 GB+ input costs
+    ~batch_blocks x block_size resident, not 2 x the file."""
+    config = config or CodecConfig()
+    batch_bytes = batch_blocks * config.block_size
+    total_in = 0
+    total_out = 0
+    frames = 0
+    while True:
+        chunk = fin.read(batch_bytes)
+        if not chunk:
+            break
+        out = compress(chunk, config)
+        fout.write(out)
+        total_in += len(chunk)
+        total_out += len(out)
+        frames += 1
+    if frames == 0:  # empty input still yields one valid (empty) frame
+        out = compress(b"", config)
+        fout.write(out)
+        total_out += len(out)
+        frames = 1
+    return {
+        "raw_bytes": total_in,
+        "compressed_bytes": total_out,
+        "frames": frames,
+        "ratio": total_out / max(1, total_in),
+    }
+
+
+def decompress_stream(fin, fout, config: Optional[CodecConfig] = None) -> dict:
+    """Inverse of compress_stream: consume frames one at a time, so
+    resident memory is bounded by one frame (one batch), not the file."""
+    total_in = 0
+    total_out = 0
+    frames = 0
+    while True:
+        frame_bytes = framing.read_frame(fin)
+        if frame_bytes is None:
+            break
+        out = decompress(frame_bytes, config)
+        fout.write(out)
+        total_in += len(frame_bytes)
+        total_out += len(out)
+        frames += 1
+    if frames == 0:
+        raise ValueError("empty input: no frames")
+    return {
+        "compressed_bytes": total_in,
+        "raw_bytes": total_out,
+        "frames": frames,
+    }
+
+
+def compress_file(
+    src: str,
+    dst: str,
+    config: Optional[CodecConfig] = None,
+    streaming: Optional[bool] = None,
+    batch_blocks: int = DEFAULT_BATCH_BLOCKS,
+) -> dict:
+    """File driver.  ``streaming=None`` auto-selects: files larger than
+    one batch stream through bounded memory; smaller files produce the
+    single-frame container (identical bytes to compress())."""
+    config = config or CodecConfig()
+    import os
+
+    if streaming is None:
+        streaming = os.path.getsize(src) > batch_blocks * config.block_size
     with open(src, "rb") as f:
+        if streaming:
+            with open(dst, "wb") as g:
+                return compress_stream(f, g, config, batch_blocks)
         data = f.read()
     out = compress(data, config)
     with open(dst, "wb") as f:
@@ -125,10 +214,10 @@ def compress_file(src: str, dst: str, config: Optional[CodecConfig] = None) -> d
     }
 
 
-def decompress_file(src: str, dst: str, config: Optional[CodecConfig] = None) -> dict:
-    with open(src, "rb") as f:
-        data = f.read()
-    out = decompress(data, config)
-    with open(dst, "wb") as f:
-        f.write(out)
-    return {"compressed_bytes": len(data), "raw_bytes": len(out)}
+def decompress_file(
+    src: str, dst: str, config: Optional[CodecConfig] = None
+) -> dict:
+    """File driver; always consumes frame-by-frame (bounded memory, and
+    a single-frame container is just the one-iteration case)."""
+    with open(src, "rb") as f, open(dst, "wb") as g:
+        return decompress_stream(f, g, config)

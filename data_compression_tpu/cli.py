@@ -30,6 +30,14 @@ def _read(path: str) -> bytes:
         return f.read()
 
 
+def _open_in(path: str):
+    return sys.stdin.buffer if path == "-" else open(path, "rb")
+
+
+def _open_out(path: str):
+    return sys.stdout.buffer if path == "-" else open(path, "wb")
+
+
 def _write(path: str, data: bytes) -> None:
     if path == "-":
         sys.stdout.buffer.write(data)
@@ -64,6 +72,13 @@ def main(argv=None) -> int:
 
     sp = sub.add_parser("compress", help="compress IN to OUT")
     add_codec_flags(sp)
+    sp.add_argument(
+        "--batch-blocks",
+        type=int,
+        default=api.DEFAULT_BATCH_BLOCKS,
+        help="blocks resident per streamed batch (bounds memory; the "
+        "streaming analogue of the reference's 65,000-byte stdin loop)",
+    )
     sp.add_argument("input")
     sp.add_argument("output")
 
@@ -95,28 +110,47 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
 
     if args.cmd == "compress":
-        data = _read(args.input)
-        t0 = time.perf_counter()
-        out = api.compress(data, _config(args))
-        dt = time.perf_counter() - t0
-        _write(args.output, out)
+        # Streamed: holds at most batch_blocks x block_size resident,
+        # so 1 GB+ inputs (and unbounded stdin) never double in RAM.
+        fin, fout = _open_in(args.input), _open_out(args.output)
+        try:
+            t0 = time.perf_counter()
+            st = api.compress_stream(
+                fin, fout, _config(args), batch_blocks=args.batch_blocks
+            )
+            dt = time.perf_counter() - t0
+        finally:
+            if args.input != "-":
+                fin.close()
+            if args.output != "-":
+                fout.close()
+            else:
+                fout.flush()
         print(
-            f"{len(data)} -> {len(out)} bytes "
-            f"(ratio {len(out)/max(1,len(data)):.4f}, {dt:.3f}s, "
-            f"{len(data)/max(dt,1e-9)/1e6:.1f} MB/s)",
+            f"{st['raw_bytes']} -> {st['compressed_bytes']} bytes "
+            f"(ratio {st['ratio']:.4f}, {dt:.3f}s, "
+            f"{st['raw_bytes']/max(dt,1e-9)/1e6:.1f} MB/s, "
+            f"{st['frames']} frame(s))",
             file=sys.stderr,
         )
         return 0
 
     if args.cmd == "decompress":
-        data = _read(args.input)
         cfg = CodecConfig(chunk_syms=args.chunk_syms, use_device=not args.no_device)
-        t0 = time.perf_counter()
-        out = api.decompress(data, cfg)
-        dt = time.perf_counter() - t0
-        _write(args.output, out)
+        fin, fout = _open_in(args.input), _open_out(args.output)
+        try:
+            t0 = time.perf_counter()
+            st = api.decompress_stream(fin, fout, cfg)
+            dt = time.perf_counter() - t0
+        finally:
+            if args.input != "-":
+                fin.close()
+            if args.output != "-":
+                fout.close()
+            else:
+                fout.flush()
         print(
-            f"{len(data)} -> {len(out)} bytes ({dt:.3f}s)",
+            f"{st['compressed_bytes']} -> {st['raw_bytes']} bytes ({dt:.3f}s)",
             file=sys.stderr,
         )
         return 0
@@ -151,18 +185,38 @@ def main(argv=None) -> int:
         return 0
 
     if args.cmd == "info":
-        frame = framing.unpack_frame(_read(args.input))
+        # Streamed containers are frame concatenations; summarize all.
+        fin = _open_in(args.input)
+        try:
+            frames = []
+            while True:
+                fb = framing.read_frame(fin)
+                if fb is None:
+                    break
+                frames.append(framing.unpack_frame(fb))
+        finally:
+            if args.input != "-":
+                fin.close()
+        if not frames:
+            print(json.dumps({"error": "no frames"}))
+            return 1
+        f0 = frames[0]
         print(
             json.dumps(
                 {
-                    "codec": frame.codec_name,
-                    "arity": frame.arity,
-                    "block_size": frame.block_size,
-                    "total_len": frame.total_len,
-                    "num_blocks": len(frame.entries),
-                    "shared_table": frame.shared_table is not None,
-                    "literal_blocks": sum(e.is_literal for e in frame.entries),
-                    "compressed_bytes": sum(e.comp_len for e in frame.entries),
+                    "codec": f0.codec_name,
+                    "arity": f0.arity,
+                    "block_size": f0.block_size,
+                    "frames": len(frames),
+                    "total_len": sum(f.total_len for f in frames),
+                    "num_blocks": sum(len(f.entries) for f in frames),
+                    "shared_table": f0.shared_table is not None,
+                    "literal_blocks": sum(
+                        e.is_literal for f in frames for e in f.entries
+                    ),
+                    "compressed_bytes": sum(
+                        e.comp_len for f in frames for e in f.entries
+                    ),
                 }
             )
         )

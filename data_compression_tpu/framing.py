@@ -170,6 +170,52 @@ def unpack_frame(data: bytes) -> Frame:
     )
 
 
+def read_frame(stream) -> Optional[bytes]:
+    """Read exactly one complete frame from a binary file object, or
+    None at a clean EOF.  Streamed containers are a concatenation of
+    independent frames (gzip-member style), so unbounded inputs never
+    need to be resident: compress_stream emits a frame per bounded
+    batch and decompress_stream consumes them one at a time — the
+    TPU-era version of the reference's 65,000-byte stdin loop
+    (n_ary_huffman.c:2508-2580)."""
+    header = stream.read(_HEADER.size)
+    if not header:
+        return None
+    if len(header) < _HEADER.size:
+        raise ValueError("truncated frame: header")
+    (magic, ver, flags, _codec, _arity, _bsize, nblocks, _total, _cl2, hcrc) = (
+        _HEADER.unpack_from(header, 0)
+    )
+    if magic != MAGIC:
+        raise ValueError(f"bad magic {magic!r}")
+    if ver != VERSION:
+        raise ValueError(f"unsupported version {ver}")
+    if crc32(header[: _HEADER.size - 4]) != hcrc:
+        raise ValueError("header CRC mismatch")
+    parts = [header]
+    if flags & FLAG_SHARED_TABLE:
+        raw = stream.read(4)
+        if len(raw) < 4:
+            raise ValueError("truncated frame: shared table length")
+        (tlen,) = struct.unpack("<I", raw)
+        table = stream.read(tlen)
+        if len(table) != tlen:
+            raise ValueError("truncated frame: shared table")
+        parts += [raw, table]
+    table_bytes = stream.read(nblocks * _ENTRY.size)
+    if len(table_bytes) != nblocks * _ENTRY.size:
+        raise ValueError("truncated frame: block table")
+    parts.append(table_bytes)
+    payload_total = sum(
+        _ENTRY.unpack_from(table_bytes, k * _ENTRY.size)[0] for k in range(nblocks)
+    )
+    payload = stream.read(payload_total)
+    if len(payload) != payload_total:
+        raise ValueError("truncated frame: payload")
+    parts.append(payload)
+    return b"".join(parts)
+
+
 def split_blocks(data: bytes, block_size: int) -> Tuple[np.ndarray, np.ndarray]:
     """Split a byte stream into a padded [num_blocks, block_size] uint8
     array plus per-block valid lengths — the device-side layout that

@@ -27,6 +27,7 @@ oracle used by differential tests.
 
 from __future__ import annotations
 
+import logging
 import struct
 from typing import List, Optional, Tuple
 
@@ -43,6 +44,29 @@ from data_compression_tpu.huffman.canonical import (
 )
 from data_compression_tpu.huffman.tree import huffman_lengths
 from data_compression_tpu.models.base import Codec, EncodeResult
+
+
+_log = logging.getLogger("data_compression_tpu")
+_fallback_warned: set = set()
+
+
+def _note_pallas_fallback(kind: str, reasons: List[str]) -> None:
+    """Loud fallback: when ``use_pallas=True`` but the fused kernel's
+    preconditions don't hold, say so ONCE per distinct reason set — a
+    user benchmarking an unsupported config must not mistake the XLA
+    path's number for the advertised kernel's."""
+    key = (kind, tuple(reasons))
+    if key in _fallback_warned:
+        return
+    _fallback_warned.add(key)
+    msg = (
+        f"pallas {kind} fast path unavailable ({'; '.join(reasons)}); "
+        "falling back to the XLA path (several x slower)"
+    )
+    if reasons == ["backend is not tpu"]:
+        _log.info(msg)  # expected off-TPU; don't spam test/CPU runs
+    else:
+        _log.warning(msg)
 
 
 def capped_lengths(freqs: np.ndarray, arity: int) -> np.ndarray:
@@ -266,12 +290,21 @@ class HuffmanCodec(Codec):
             LANES,
         )
 
-        if (
-            self.config.use_pallas
-            and jax.default_backend() == "tpu"
+        pallas_ok = (
+            jax.default_backend() == "tpu"
             and C == PALLAS_C
             and S == PALLAS_C * LANES
-        ):
+        )
+        if self.config.use_pallas and not pallas_ok:
+            reasons = []
+            if jax.default_backend() != "tpu":
+                reasons.append("backend is not tpu")
+            if C != PALLAS_C:
+                reasons.append(f"chunk_syms {C} != {PALLAS_C}")
+            if S != PALLAS_C * LANES:
+                reasons.append(f"block_size {S} != {PALLAS_C * LANES}")
+            _note_pallas_fallback("encode", reasons)
+        if self.config.use_pallas and pallas_ok:
             from data_compression_tpu.ops.pallas.encode_kernel import (
                 encode_blocks_pallas,
             )
@@ -402,13 +435,26 @@ class HuffmanCodec(Codec):
             LANES,
         )
 
-        if (
-            self.config.use_pallas
-            and jax.default_backend() == "tpu"
+        pallas_ok = (
+            jax.default_backend() == "tpu"
             and arity == 2
             and C == PALLAS_C
             and self.config.block_size == PALLAS_C * LANES
-        ):
+        )
+        if self.config.use_pallas and not pallas_ok:
+            reasons = []
+            if jax.default_backend() != "tpu":
+                reasons.append("backend is not tpu")
+            if arity != 2:
+                reasons.append(f"arity {arity} != 2")
+            if C != PALLAS_C:
+                reasons.append(f"chunk_syms {C} != {PALLAS_C}")
+            if self.config.block_size != PALLAS_C * LANES:
+                reasons.append(
+                    f"block_size {self.config.block_size} != {PALLAS_C * LANES}"
+                )
+            _note_pallas_fallback("decode", reasons)
+        if self.config.use_pallas and pallas_ok:
             from data_compression_tpu.ops.pallas.decode_kernel import (
                 decode_blocks_pallas,
             )

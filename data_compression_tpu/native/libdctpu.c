@@ -424,6 +424,11 @@ int64_t dct_huffman_decode_chunk(const uint8_t *payload, int64_t plen,
         for (int q = 0; q < ln; q++) scale /= arity;
         int64_t value = w / scale;
         int64_t sidx = base_minus_first[ln] + value;
+        /* Host-validated tables (Kraft check in huffman/canonical.py)
+         * guarantee sidx < 256, but corrupted payloads must never
+         * turn into an OOB read even if a future caller skips that
+         * validation — bound-check in C too. */
+        if (sidx < 0 || sidx >= 256) return DCT_ERR_FORMAT;
         out[i] = (uint8_t)symbols[sidx];
         off += ln;
     }
