@@ -27,8 +27,16 @@ def _as_bytes(data: BytesLike) -> bytes:
     return bytes(data)
 
 
-def compress(data: BytesLike, config: Optional[CodecConfig] = None) -> bytes:
-    """Compress a byte stream into a framed container."""
+def compress(
+    data: BytesLike,
+    config: Optional[CodecConfig] = None,
+    meta: Optional[bytes] = None,
+) -> bytes:
+    """Compress a byte stream into a framed container.
+
+    ``meta`` attaches an annotation block decoders skip — the
+    reference's '#' meta netstring (n_ary_huffman.c:2058, design note
+    :75-78): raw_len 0, crc of the annotation bytes themselves."""
     config = config or CodecConfig()
     raw = _as_bytes(data)
     blocks, lengths = framing.split_blocks(raw, config.block_size)
@@ -36,6 +44,12 @@ def compress(data: BytesLike, config: Optional[CodecConfig] = None) -> bytes:
     result = codec.encode_blocks(blocks, lengths)
 
     payloads, flags, crcs = [], [], []
+    raw_lens = []
+    if meta is not None:
+        payloads.append(bytes(meta))
+        flags.append(framing.BLOCK_META)
+        crcs.append(crc32(bytes(meta)))
+        raw_lens.append(0)
     for i, payload in enumerate(result.payloads):
         raw_len = int(lengths[i])
         raw_block = blocks[i, :raw_len].tobytes()
@@ -48,6 +62,7 @@ def compress(data: BytesLike, config: Optional[CodecConfig] = None) -> bytes:
         else:
             payloads.append(payload)
             flags.append(0)
+        raw_lens.append(raw_len)
 
     chunk_log2 = (
         config.chunk_syms.bit_length() - 1 if config.codec == "huffman" else 0
@@ -58,7 +73,7 @@ def compress(data: BytesLike, config: Optional[CodecConfig] = None) -> bytes:
         block_size=config.block_size,
         total_len=len(raw),
         payloads=payloads,
-        raw_lens=[int(x) for x in lengths],
+        raw_lens=raw_lens,
         crcs=crcs,
         block_flags=flags,
         shared_table=result.shared_table,
@@ -81,10 +96,18 @@ def decompress(data: BytesLike, config: Optional[CodecConfig] = None) -> bytes:
     )
     codec = get_codec(cfg)
 
-    coded_idx = [i for i, e in enumerate(frame.entries) if not e.is_literal]
+    coded_idx = [
+        i for i, e in enumerate(frame.entries)
+        if not e.is_literal and not e.is_meta
+    ]
     out: list = [None] * len(frame.entries)
     for i, e in enumerate(frame.entries):
-        if e.is_literal:
+        if e.is_meta:
+            # annotation block: decoders skip (reference's '#' netstring)
+            if crc32(frame.payloads[i]) != e.crc:
+                raise ValueError(f"block {i}: meta CRC mismatch")
+            out[i] = b""
+        elif e.is_literal:
             out[i] = frame.payloads[i]
     if coded_idx:
         decoded = codec.decode_blocks(
@@ -96,6 +119,8 @@ def decompress(data: BytesLike, config: Optional[CodecConfig] = None) -> bytes:
             out[i] = blk
 
     for i, e in enumerate(frame.entries):
+        if e.is_meta:
+            continue  # verified above; contributes no output bytes
         if len(out[i]) != e.raw_len:
             raise ValueError(f"block {i}: decoded length {len(out[i])} != {e.raw_len}")
         if crc32(out[i]) != e.crc:

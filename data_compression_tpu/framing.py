@@ -51,6 +51,10 @@ VERSION = 1
 FLAG_SHARED_TABLE = 1 << 0
 
 BLOCK_LITERAL = 1 << 0
+# Annotation block decoders skip — the reference's '#' meta netstring
+# (n_ary_huffman.c:2058 parses and skips it; design note :75-78).  The
+# payload is arbitrary bytes (raw_len 0, crc of the payload itself).
+BLOCK_META = 1 << 1
 
 _HEADER = struct.Struct("<4sHHBBIIQHI")  # 32 bytes
 _ENTRY = struct.Struct("<IIII")  # 16 bytes
@@ -68,6 +72,10 @@ class BlockEntry:
     @property
     def is_literal(self) -> bool:
         return bool(self.flags & BLOCK_LITERAL)
+
+    @property
+    def is_meta(self) -> bool:
+        return bool(self.flags & BLOCK_META)
 
 
 @dataclasses.dataclass

@@ -116,7 +116,11 @@ PACKED_LEN_SHIFT = {2: ARITY_MAX_LEN[2] * BITS_PER_DIGIT[2],
                     16: ARITY_MAX_LEN[16] * BITS_PER_DIGIT[16]}
 
 
-def _make_kernel(arity: int, maxlen: int | None = None):
+def _make_kernel(arity: int, maxlen: int | None = None, stages: int = 3):
+    """stages: profiling ablation — 1: table lookup only, 2: + merge
+    tree, 3: full (+ wire-byte conversion).  Stages < 3 write truncated
+    garbage to the byte output (consumed so Mosaic cannot DCE the
+    measured work); only stage 3 is wire-correct."""
     sched, Wf = _levels(arity, maxlen)
     C = CHUNK_SYMS
     bpd = BITS_PER_DIGIT[arity]
@@ -171,6 +175,11 @@ def _make_kernel(arity: int, maxlen: int | None = None):
         w = jnp.where(valid, w, 0)
         l = jnp.where(valid, l, 0)
 
+        if stages <= 1:  # ablation: lookup only
+            bytes_ref[0, :C, :] = (w & 0xFF).astype(jnp.uint8)
+            nbytes_ref[0] = l[0:1]
+            return
+
         words = w[:, None, :]  # [P, W=1, 128]
         lens = l
         for (P, W, W2) in sched:
@@ -187,6 +196,10 @@ def _make_kernel(arity: int, maxlen: int | None = None):
         buf = words[0]  # [W_last, 128] bit-field buffer
         if buf.shape[0] < Wf:  # maxlen-specialized schedule: upper words 0
             buf = jnp.pad(buf, [(0, Wf - buf.shape[0]), (0, 0)])
+        if stages <= 2:  # ablation: lookup + merge, no wire conversion
+            bytes_ref[0, :Wf, :] = (buf & 0xFF).astype(jnp.uint8)
+            nbytes_ref[0] = lens // bpd
+            return
         # wire-byte conversion in VMEM (was an 18 ms XLA pass)
         if arity == 3:
             # 2-bit fields -> trits -> 5 trits per byte.  Segmented
@@ -223,7 +236,9 @@ def _make_kernel(arity: int, maxlen: int | None = None):
     return kernel, Wf, MB
 
 
-@functools.partial(jax.jit, static_argnames=("arity", "interpret", "maxlen"))
+@functools.partial(
+    jax.jit, static_argnames=("arity", "interpret", "maxlen", "stages")
+)
 def _encode_pallas(
     syms_t: jnp.ndarray,  # [B, C, 128] uint8/int32 (symbol-major)
     usyms: jnp.ndarray,  # [B, 256] int32 (pad 0x1FF)
@@ -234,9 +249,10 @@ def _encode_pallas(
     arity: int,
     interpret: bool = False,
     maxlen: int | None = None,
+    stages: int = 3,
 ):
     B = syms_t.shape[0]
-    kernel, Wf, MB = _make_kernel(arity, maxlen)
+    kernel, Wf, MB = _make_kernel(arity, maxlen, stages)
     C = CHUNK_SYMS
     usyms = usyms[:, None, :]
     upacked = upacked[:, None, :]

@@ -122,6 +122,66 @@ def z85_armor(data: bytes) -> str:
     return _Z85_MAGIC + ":" + str(len(data)) + "\n" + "\n".join(lines) + "\n~\n"
 
 
+# --- Ascii85 armor ----------------------------------------------------
+# The other dormant alphabet in the reference's #if(0) block
+# (n_ary_huffman.c:371-428): btoa/Adobe Ascii85, chars '!'..'u' plus the
+# 'z' shorthand for an all-zero group.
+
+_A85_MAGIC = "DCA"
+
+
+def ascii85_armor(data: bytes) -> str:
+    """Encode bytes as Ascii85 (frame: 'DCA:<len>\\n' body '\\n~\\n');
+    all-zero 4-byte groups emit the classic 'z' shorthand."""
+    pad = (-len(data)) % 4
+    buf = data + b"\x00" * pad
+    digits = []
+    for i in range(0, len(buf), 4):
+        v = int.from_bytes(buf[i : i + 4], "big")
+        if v == 0:
+            digits.append("z")
+            continue
+        for p in (85**4, 85**3, 85**2, 85, 1):
+            digits.append(chr(33 + (v // p) % 85))
+    body = "".join(digits)
+    lines = [body[i : i + _LINE] for i in range(0, max(len(body), 1), _LINE)] or [""]
+    return _A85_MAGIC + ":" + str(len(data)) + "\n" + "\n".join(lines) + "\n~\n"
+
+
+def ascii85_dearmor(text: str) -> bytes:
+    """Inverse of ascii85_armor (whitespace-tolerant)."""
+    head, _, rest = text.partition("\n")
+    if not head.startswith(_A85_MAGIC + ":"):
+        raise ValueError("bad ascii85 armor header")
+    nbytes = int(head[len(_A85_MAGIC) + 1 :])
+    out = bytearray()
+    group = 0
+    ndig = 0
+    for c in rest:
+        if c in " \t\r\n":
+            continue
+        if c == "~":
+            break
+        if c == "z":
+            if ndig:
+                raise ValueError("'z' inside an ascii85 group")
+            out += b"\x00\x00\x00\x00"
+            continue
+        if not ("!" <= c <= "u"):
+            raise ValueError(f"not an ascii85 digit: {c!r}")
+        group = group * 85 + (ord(c) - 33)
+        ndig += 1
+        if ndig == 5:
+            out += group.to_bytes(4, "big")
+            group = 0
+            ndig = 0
+    if ndig:
+        raise ValueError("truncated ascii85 group")
+    if len(out) < nbytes:
+        raise ValueError("truncated armor")
+    return bytes(out[:nbytes])
+
+
 def z85_dearmor(text: str) -> bytes:
     """Inverse of z85_armor (whitespace-tolerant)."""
     head, _, rest = text.partition("\n")

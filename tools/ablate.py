@@ -1,0 +1,173 @@
+"""Stage-ablation profiling of the fused Pallas kernels on the real
+chip.  Prints a per-stage table (cumulative and incremental ms per
+8 MiB) for encode (1: lookup, 2: +merge tree, 3: +wire bytes) and
+decode (1: window/len/rank, 2: +boundary walk, 3: +compaction,
+4: +rank->symbol), plus the platform copy envelope and a minimal
+pallas pass-through kernel as the dispatch/DMA floor.
+
+Usage: python tools/ablate.py [arity] [mb]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from bench import make_corpus, measure_envelope, time_chain  # noqa: E402
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from data_compression_tpu import framing
+    from data_compression_tpu.config import ARITY_MAX_LEN
+    from data_compression_tpu.huffman.canonical import lengths_to_codes
+    from data_compression_tpu.models.huffman import capped_lengths
+    from data_compression_tpu.ops.pallas.encode_kernel import (
+        CHUNK_SYMS,
+        LANES,
+        MAXLEN_BUCKETS,
+        PACKED_LEN_SHIFT,
+        _encode_pallas,
+        encode_blocks_pallas,
+        prep_tables,
+    )
+
+    arity = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    mb = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    nbytes = mb * 1024 * 1024
+
+    data = make_corpus(nbytes)
+    blocks, lengths = framing.split_blocks(data, 65536)
+    B = blocks.shape[0]
+    hists = np.stack(
+        [np.bincount(blocks[i, : lengths[i]], minlength=256) for i in range(B)]
+    ).astype(np.int64)
+    tables = [
+        lengths_to_codes(capped_lengths(hists[i], arity), arity) for i in range(B)
+    ]
+    actual_max = max(int(t.max_len) for t in tables)
+    maxlen = min(
+        next((m for m in MAXLEN_BUCKETS if m >= actual_max), ARITY_MAX_LEN[arity]),
+        ARITY_MAX_LEN[arity],
+    )
+    usyms, upacked, ubits, count = prep_tables(tables)
+    used_mean = float(count.mean())
+    sh = PACKED_LEN_SHIFT.get(arity)
+    if sh is not None:
+        from data_compression_tpu.ops.encode_fast import BITS_PER_DIGIT
+
+        ud = ubits.astype(np.int64) // BITS_PER_DIGIT[arity]
+        upacked = ((ud << sh) | upacked.astype(np.int64)).astype(np.int32)
+    meta = np.stack([count, lengths.astype(np.int32)], axis=1).astype(np.int32)
+    syms_t = jnp.transpose(
+        jnp.asarray(blocks).reshape(B, LANES, CHUNK_SYMS), (0, 2, 1)
+    )
+    u1, u2, u3, mt = map(jnp.asarray, (usyms, upacked, ubits, meta))
+
+    report = {"arity": arity, "mb": mb, "used_symbols_mean": used_mean,
+              "maxlen_bucket": maxlen}
+
+    # ---- pallas pass-through floor: read [C,128] u8, write it back
+    import functools
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def copy_kernel(x_ref, o_ref):
+        # Mosaic on this toolchain vectorizes only i16/i32 arithmetic;
+        # a pure u8 copy is the honest pass-through floor anyway.
+        o_ref[0] = x_ref[0]
+
+    @jax.jit
+    def copy_call(x):
+        return pl.pallas_call(
+            copy_kernel,
+            grid=(x.shape[0],),
+            in_specs=[pl.BlockSpec((1, CHUNK_SYMS, LANES), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((1, CHUNK_SYMS, LANES), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(x.shape, jnp.uint8),
+        )(x)
+
+    x8 = jnp.asarray(blocks).reshape(B, LANES, CHUNK_SYMS).transpose(0, 2, 1)
+
+    @jax.jit
+    def copy_step(v):
+        return copy_call(v) ^ 1  # keep the chain data-dependent
+
+    t = time_chain(copy_step, x8.astype(jnp.uint8), iters=12)
+    report["pallas_passthrough_ms"] = round(t * 1e3, 3)
+    report["pallas_passthrough_gbps"] = round(nbytes / t / 1e9, 2)
+
+    # ---- encode stages
+    enc = {}
+    for stages in (1, 2, 3):
+        @jax.jit
+        def step(s, stages=stages):
+            byts, nb = _encode_pallas(
+                s, u1, u2, u3, mt, arity=arity, maxlen=maxlen, stages=stages
+            )
+            mix = jnp.tile(byts, (1, CHUNK_SYMS // byts.shape[1] + 1, 1))[
+                :, :CHUNK_SYMS, :
+            ]
+            return s ^ (mix & 0x7F)
+
+        best = time_chain(step, syms_t)
+        enc[stages] = best
+        report[f"encode_stage{stages}_ms"] = round(best * 1e3, 3)
+    report["encode_lookup_ms"] = round(enc[1] * 1e3, 3)
+    report["encode_merge_ms"] = round((enc[2] - enc[1]) * 1e3, 3)
+    report["encode_wire_ms"] = round((enc[3] - enc[2]) * 1e3, 3)
+    report["encode_gbps"] = round(nbytes / enc[3] / 1e9, 3)
+
+    # ---- decode stages (arity 2 only)
+    if arity == 2:
+        from data_compression_tpu.ops.pallas import decode_kernel as dk
+
+        out0, nb_chunks, _ = encode_blocks_pallas(
+            jnp.asarray(blocks), lengths, tables, arity
+        )
+        packed_np, nb_np = np.asarray(out0), np.asarray(nb_chunks)
+        payloads = [
+            [
+                packed_np[b * LANES + c, : nb_np[b * LANES + c]].tobytes()
+                for c in range(LANES)
+            ]
+            for b in range(B)
+        ]
+        payload_t, dl, db, dsym, dm = dk.prep_decode_inputs(payloads, tables)
+        dec = {}
+        for stages in (1, 2, 3, 4):
+            @jax.jit
+            def dstep(p, stages=stages):
+                out = dk._decode_pallas(p, dl, db, dsym, dm, stages=stages)
+                mix = jnp.tile(out, (1, p.shape[1] // out.shape[1] + 1, 1))[
+                    :, : p.shape[1], :
+                ]
+                return p ^ mix
+
+            best = time_chain(dstep, payload_t)
+            dec[stages] = best
+            report[f"decode_stage{stages}_ms"] = round(best * 1e3, 3)
+        report["decode_window_ms"] = round(dec[1] * 1e3, 3)
+        report["decode_walk_ms"] = round((dec[2] - dec[1]) * 1e3, 3)
+        report["decode_compact_ms"] = round((dec[3] - dec[2]) * 1e3, 3)
+        report["decode_ranksym_ms"] = round((dec[4] - dec[3]) * 1e3, 3)
+        report["decode_gbps"] = round(nbytes / dec[4] / 1e9, 3)
+
+    report["copy_envelope_gbps"] = round(measure_envelope(), 2)
+    print(json.dumps(report, indent=1))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
