@@ -8,10 +8,14 @@ Layout: **chunk-per-lane.**  A 64 KiB block = 128 chunks x 512 symbols;
 the kernel sees symbols as [512, 128] with the chunk index in the lane
 dimension, so every merge level is elementwise across lanes and the
 pair reductions walk the sublane-major axis — no cross-lane traffic at
-all.  One canonical table per block rides in SMEM as a (used-symbol,
-packed-code, bit-length) list; the lookup is a dynamic-bound fori over
-the used symbols (typically ~60 for text, worst case 256), a masked
-select per entry.
+all.  One canonical table per block rides in VMEM as a DENSE 256-entry
+(packed code, digit count) array laid out as two 128-lane rows; the
+symbol -> code lookup is two lane-wise dynamic gathers
+(jnp.take_along_axis on the lane axis, Mosaic's dynamic-gather op) plus
+one select — constant cost per symbol, independent of the alphabet
+density.  This replaced a dynamic-bound select loop over the used
+symbols (~2 VPU ops per used symbol per position, i.e. ~120 ops/byte on
+text, ~512 on dense alphabets) that dominated round-1 profiles.
 
 Output is the raw [Wf, 128] u32 bit-field buffer per block plus total
 bit counts; the (cheap) wire-byte conversion and per-chunk transpose
@@ -102,18 +106,29 @@ def _mshl(b, nbits):
     return lo | carry
 
 
-LOOKUP_UNROLL = 8
-
 # For arity 2 and 16 the (code, length) pair fits one int32, so the
-# used-symbol lookup loop needs a single select per entry; arity 3
-# codes are 30 bits and keep separate code/length selects.  The length
-# is packed as the DIGIT count (<= ARITY_MAX_LEN, 4 bits at n=2 /
-# 3 bits at n=16), never the bit count: at n=16 the bit count (lens*4,
-# max 28) needs 5 bits but only bits 28..30 sit above the code field,
-# so packing bits would truncate lengths 16/20/24/28 to 0/4/8/12.
+# dense lookup table holds a single packed entry per symbol; arity 3
+# codes are 30 bits and keep separate code and digit-count tables.  The
+# length is packed as the DIGIT count (<= ARITY_MAX_LEN, 4 bits at n=2
+# / 3 bits at n=16), never the bit count: at n=16 the bit count
+# (lens*4, max 28) needs 5 bits but only bits 28..30 sit above the code
+# field, so packing bits would truncate lengths 16/20/24/28 to 0/4/8/12.
 # The kernel recovers bits as digits * BITS_PER_DIGIT.
 PACKED_LEN_SHIFT = {2: ARITY_MAX_LEN[2] * BITS_PER_DIGIT[2],
                     16: ARITY_MAX_LEN[16] * BITS_PER_DIGIT[16]}
+
+
+def _gather256(lo_row, hi_row, s):
+    """Dense 256-entry table lookup on the VPU lane shuffle network.
+
+    ``lo_row``/``hi_row``: [1, 128] int32 — table entries for symbols
+    0-127 and 128-255.  ``s``: int32 symbols in [0, 256).  Two lane-wise
+    dynamic gathers + one select; constant cost per element.
+    """
+    i7 = s & 127
+    lo = jnp.take_along_axis(jnp.broadcast_to(lo_row, s.shape), i7, axis=1)
+    hi = jnp.take_along_axis(jnp.broadcast_to(hi_row, s.shape), i7, axis=1)
+    return jnp.where(s < 128, lo, hi)
 
 
 def _make_kernel(arity: int, maxlen: int | None = None, stages: int = 3):
@@ -129,42 +144,18 @@ def _make_kernel(arity: int, maxlen: int | None = None, stages: int = 3):
     MB = cap_digits // D  # wire bytes per chunk
     sh = PACKED_LEN_SHIFT.get(arity)
 
-    def kernel(usyms_ref, upacked_ref, ubits_ref, meta_ref, syms_ref,
-               bytes_ref, nbytes_ref):
+    def kernel(dense_ref, meta_ref, syms_ref, bytes_ref, nbytes_ref):
         s = syms_ref[0].astype(jnp.int32)  # [C, 128]
-        K = meta_ref[0, 0, 0]
         raw_len = meta_ref[0, 0, 1]
 
-        # Used-symbol lookup: the dominant stage.  Unrolled x8 (host
-        # pads the list with a never-matching sentinel) to amortize
-        # loop overhead; one packed select per entry when it fits.
+        # Dense-table lookup: two lane gathers + one select per symbol.
         if sh is not None:
-            def body(k8, p):
-                base = k8 * LOOKUP_UNROLL
-                for u in range(LOOKUP_UNROLL):
-                    p = jnp.where(s == usyms_ref[0, 0, base + u],
-                                  upacked_ref[0, 0, base + u], p)
-                return p
-
-            p = jax.lax.fori_loop(
-                0, (K + LOOKUP_UNROLL - 1) // LOOKUP_UNROLL, body,
-                jnp.zeros((C, LANES), jnp.int32))
+            p = _gather256(dense_ref[0, 0:1, :], dense_ref[0, 1:2, :], s)
             l = jax.lax.shift_right_logical(p, sh) * bpd  # digits -> bits
             w = p & ((1 << sh) - 1)
         else:
-            def body(k8, carry):
-                w, l = carry
-                base = k8 * LOOKUP_UNROLL
-                for u in range(LOOKUP_UNROLL):
-                    m = s == usyms_ref[0, 0, base + u]
-                    w = jnp.where(m, upacked_ref[0, 0, base + u], w)
-                    l = jnp.where(m, ubits_ref[0, 0, base + u], l)
-                return (w, l)
-
-            w0 = jnp.zeros((C, LANES), jnp.int32)
-            l0 = jnp.zeros((C, LANES), jnp.int32)
-            w, l = jax.lax.fori_loop(
-                0, (K + LOOKUP_UNROLL - 1) // LOOKUP_UNROLL, body, (w0, l0))
+            w = _gather256(dense_ref[0, 0:1, :], dense_ref[0, 1:2, :], s)
+            l = _gather256(dense_ref[0, 2:3, :], dense_ref[0, 3:4, :], s)
 
         # mask positions past the block's valid length: chunk = lane,
         # count per lane = clip(raw_len - lane*C, 0, C)
@@ -200,7 +191,13 @@ def _make_kernel(arity: int, maxlen: int | None = None, stages: int = 3):
             bytes_ref[0, :Wf, :] = (buf & 0xFF).astype(jnp.uint8)
             nbytes_ref[0] = lens // bpd
             return
-        # wire-byte conversion in VMEM (was an 18 ms XLA pass)
+        # Wire-byte conversion in VMEM (was an 18 ms XLA pass).  Output
+        # tiles are PREDICATED on the block's max per-chunk wire length:
+        # compressed payloads are typically ~0.6x the input, so writing
+        # the full worst-case buffer (1.9x input at n=2) would make the
+        # kernel HBM-write-bound on dead rows.  Rows past the guard are
+        # never written (consumers slice each chunk to its nbytes).
+        maxbytes = jnp.max(lens) // (bpd * D) + 1  # >= ceil(maxbits/(bpd*D))
         if arity == 3:
             # 2-bit fields -> trits -> 5 trits per byte.  Segmented
             # (60 words = 960 trits = 192 bytes per pass; LCM-aligned:
@@ -210,27 +207,41 @@ def _make_kernel(arity: int, maxlen: int | None = None, stages: int = 3):
             SEGW = 60
             nb = SEGW * 16 // 5
             for g in range(Wf // SEGW):
-                seg = jax.lax.slice(buf, (g * SEGW, 0), ((g + 1) * SEGW, LANES))
-                trits = jnp.stack(
-                    [jax.lax.shift_right_logical(seg, 2 * k) & 3
-                     for k in range(16)],
-                    axis=1,
-                ).reshape(SEGW * 16, LANES)
-                t5 = trits.reshape(nb, 5, LANES)
-                byts = (
-                    t5[:, 0]
-                    + 3 * t5[:, 1]
-                    + 9 * t5[:, 2]
-                    + 27 * t5[:, 3]
-                    + 81 * t5[:, 4]
-                )
-                bytes_ref[0, g * nb:(g + 1) * nb, :] = byts.astype(jnp.uint8)
+                @pl.when(g * nb < maxbytes)
+                def _(g=g):
+                    seg = jax.lax.slice(
+                        buf, (g * SEGW, 0), ((g + 1) * SEGW, LANES)
+                    )
+                    trits = jnp.stack(
+                        [jax.lax.shift_right_logical(seg, 2 * k) & 3
+                         for k in range(16)],
+                        axis=1,
+                    ).reshape(SEGW * 16, LANES)
+                    t5 = trits.reshape(nb, 5, LANES)
+                    byts = (
+                        t5[:, 0]
+                        + 3 * t5[:, 1]
+                        + 9 * t5[:, 2]
+                        + 27 * t5[:, 3]
+                        + 81 * t5[:, 4]
+                    )
+                    bytes_ref[0, g * nb:(g + 1) * nb, :] = byts.astype(jnp.uint8)
         else:
-            byts = jnp.stack(
-                [jax.lax.shift_right_logical(buf, 8 * k) & 0xFF for k in range(4)],
-                axis=1,
-            ).reshape(Wf * 4, LANES)[:MB]
-            bytes_ref[0] = byts.astype(jnp.uint8)
+            # word tile near 32 that divides Wf exactly
+            WT = next(w for w in range(32, 0, -1) if Wf % w == 0)
+            for g in range(Wf // WT):
+                @pl.when(g * WT * 4 < maxbytes)
+                def _(g=g):
+                    seg = jax.lax.slice(buf, (g * WT, 0), ((g + 1) * WT, LANES))
+                    byts = jnp.stack(
+                        [jax.lax.shift_right_logical(seg, 8 * k) & 0xFF
+                         for k in range(4)],
+                        axis=1,
+                    ).reshape(WT * 4, LANES)
+                    hi = min((g + 1) * WT * 4, MB)
+                    bytes_ref[0, g * WT * 4:hi, :] = (
+                        byts[: hi - g * WT * 4].astype(jnp.uint8)
+                    )
         nbytes_ref[0] = lens // bpd  # total digits; bytes derived outside
 
     return kernel, Wf, MB
@@ -241,9 +252,7 @@ def _make_kernel(arity: int, maxlen: int | None = None, stages: int = 3):
 )
 def _encode_pallas(
     syms_t: jnp.ndarray,  # [B, C, 128] uint8/int32 (symbol-major)
-    usyms: jnp.ndarray,  # [B, 256] int32 (pad 0x1FF)
-    upacked: jnp.ndarray,  # [B, 256] int32
-    ubits: jnp.ndarray,  # [B, 256] int32
+    dense: jnp.ndarray,  # [B, R, 128] int32 dense lookup rows (R=2 or 4)
     meta: jnp.ndarray,  # [B, 2] int32: used_count, raw_len
     *,
     arity: int,
@@ -254,17 +263,13 @@ def _encode_pallas(
     B = syms_t.shape[0]
     kernel, Wf, MB = _make_kernel(arity, maxlen, stages)
     C = CHUNK_SYMS
-    usyms = usyms[:, None, :]
-    upacked = upacked[:, None, :]
-    ubits = ubits[:, None, :]
+    R = dense.shape[1]
     meta = meta[:, None, :]
     byts, nbytes = pl.pallas_call(
         kernel,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, 1, 256), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 256), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 256), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, R, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 2), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, C, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
@@ -277,16 +282,26 @@ def _encode_pallas(
             jax.ShapeDtypeStruct((B, 1, LANES), jnp.int32),
         ],
         interpret=interpret,
-    )(usyms, upacked, ubits, meta, syms_t)
+    )(dense, meta, syms_t)
     return byts, nbytes
 
 
-def prep_tables(tables: List[CanonicalTable]) -> Tuple[np.ndarray, ...]:
-    """Host-side: per-block used-symbol lists for the SMEM select loop."""
+def prep_tables(
+    tables: List[CanonicalTable], arity: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side: dense 256-entry lookup rows for the lane-gather lookup.
+
+    Returns (dense [B, R, 128] int32, count [B] int32).  R = 2 (packed
+    (digits << sh) | code, split into lo/hi 128-lane rows) when the pair
+    fits one int32, else R = 4 (code lo/hi rows + bit-count lo/hi rows).
+    Unused symbols hold 0 (length 0) and are never gathered by valid
+    data.
+    """
     B = len(tables)
-    usyms = np.full((B, 256), 0x1FF, np.int32)  # never matches a byte
-    upacked = np.zeros((B, 256), np.int32)
-    ubits = np.zeros((B, 256), np.int32)
+    sh = PACKED_LEN_SHIFT.get(arity)
+    bpd = BITS_PER_DIGIT[arity]
+    R = 2 if sh is not None else 4
+    dense = np.zeros((B, R, 128), np.int32)
     count = np.zeros((B,), np.int32)
     cache = {}
     for i, t in enumerate(tables):
@@ -294,13 +309,22 @@ def prep_tables(tables: List[CanonicalTable]) -> Tuple[np.ndarray, ...]:
         if key not in cache:
             pt, bt = pack_encode_table(t)
             used = np.flatnonzero(bt > 0)
-            cache[key] = (used, pt, bt)
-        used, pt, bt = cache[key]
-        usyms[i, : used.size] = used
-        upacked[i, : used.size] = pt[used].astype(np.int32)
-        ubits[i, : used.size] = bt[used]
-        count[i] = used.size
-    return usyms, upacked, ubits, count
+            pt = np.where(bt > 0, pt, 0)  # unused -> all-zero entry
+            if sh is not None:
+                digits = bt.astype(np.int64) // bpd
+                assert int(digits.max(initial=0)) * bpd <= sh
+                packed = ((digits << sh) | pt.astype(np.int64)).astype(np.int32)
+                rows = packed.reshape(2, 128)
+            else:
+                rows = np.concatenate(
+                    [pt.astype(np.int32).reshape(2, 128),
+                     bt.astype(np.int32).reshape(2, 128)]
+                )
+            cache[key] = (rows, used.size)
+        rows, n = cache[key]
+        dense[i] = rows
+        count[i] = n
+    return dense, count
 
 
 def encode_blocks_pallas(
@@ -319,14 +343,7 @@ def encode_blocks_pallas(
     D = ARITY_DIGITS_PER_BYTE[arity]
     cap_digits = _cap_digits(C, arity)
 
-    usyms, upacked, ubits, count = prep_tables(tables)
-    sh = PACKED_LEN_SHIFT.get(arity)
-    if sh is not None:
-        # pack digit count, not bit count (bit count overflows the
-        # field above the 28-bit code at n=16 — see PACKED_LEN_SHIFT)
-        udigits = ubits.astype(np.int64) // bpd
-        assert int(udigits.max(initial=0)) * bpd <= sh
-        upacked = ((udigits << sh) | upacked.astype(np.int64)).astype(np.int32)
+    dense, count = prep_tables(tables, arity)
     meta = np.stack([count, np.asarray(raw_lens, np.int32)], axis=1).astype(np.int32)
 
     actual_max = max(int(t.max_len) for t in tables)
@@ -340,9 +357,7 @@ def encode_blocks_pallas(
     )  # [B, C, 128]
     byts, nbytes = _encode_pallas(
         syms_t,
-        jnp.asarray(usyms),
-        jnp.asarray(upacked),
-        jnp.asarray(ubits),
+        jnp.asarray(dense),
         jnp.asarray(meta),
         arity=arity,
         interpret=interpret,
