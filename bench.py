@@ -105,7 +105,6 @@ def main() -> int:
         CHUNK_SYMS,
         LANES,
         MAXLEN_BUCKETS,
-        PACKED_LEN_SHIFT,
         _encode_pallas,
         prep_tables,
     )
@@ -115,21 +114,16 @@ def main() -> int:
         next((m for m in MAXLEN_BUCKETS if m >= actual_max), ARITY_MAX_LEN[arity]),
         ARITY_MAX_LEN[arity],
     )
-    usyms, upacked, ubits, count = prep_tables(tables)
-    sh = PACKED_LEN_SHIFT.get(arity)
-    if sh is not None:
-        upacked = (
-            (ubits.astype(np.int64) << sh) | upacked.astype(np.int64)
-        ).astype(np.int32)
+    dense, count = prep_tables(tables, arity)
     meta = np.stack([count, lengths.astype(np.int32)], axis=1).astype(np.int32)
     syms_t = jnp.transpose(
         jnp.asarray(blocks).reshape(B, LANES, CHUNK_SYMS), (0, 2, 1)
     )
-    u1, u2, u3, mt = map(jnp.asarray, (usyms, upacked, ubits, meta))
+    dn, mt = jnp.asarray(dense), jnp.asarray(meta)
 
     @jax.jit
     def encode_step(s):
-        byts, nb = _encode_pallas(s, u1, u2, u3, mt, arity=arity, maxlen=maxlen)
+        byts, nb = _encode_pallas(s, dn, mt, arity=arity, maxlen=maxlen)
         mix = jnp.tile(byts, (1, CHUNK_SYMS // byts.shape[1] + 1, 1))[
             :, :CHUNK_SYMS, :
         ]
@@ -139,7 +133,7 @@ def main() -> int:
     gbps = nbytes / best / 1e9
 
     # compressed size from one straight run
-    byts0, nb0 = _encode_pallas(syms_t, u1, u2, u3, mt, arity=arity, maxlen=maxlen)
+    byts0, nb0 = _encode_pallas(syms_t, dn, mt, arity=arity, maxlen=maxlen)
     from data_compression_tpu.config import ARITY_DIGITS_PER_BYTE
 
     total_digits = np.asarray(nb0).reshape(-1)

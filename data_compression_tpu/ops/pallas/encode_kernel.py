@@ -335,7 +335,14 @@ def encode_blocks_pallas(
     interpret: bool = False,
 ):
     """-> (wire bytes [B*128, max_chunk_bytes], nbytes [B*128]) —
-    wire-identical to encode_chunks_fast with chunk_syms=512."""
+    wire-identical to encode_chunks_fast with chunk_syms=512.
+
+    Contract: only the first ``nbytes[i]`` bytes of row i are defined.
+    Rows past each chunk's valid length are UNINITIALIZED (the kernel
+    predicates HBM writes on the block's max per-chunk wire length, so
+    trailing tiles are never written).  Consumers — including any
+    differential/parity harness — must slice row i to ``nbytes[i]``
+    before comparing or serializing."""
     B, S = blocks.shape
     C = CHUNK_SYMS
     assert S == C * LANES, "pallas encoder requires 64 KiB blocks"

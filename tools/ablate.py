@@ -34,7 +34,6 @@ def main() -> int:
         CHUNK_SYMS,
         LANES,
         MAXLEN_BUCKETS,
-        PACKED_LEN_SHIFT,
         _encode_pallas,
         encode_blocks_pallas,
         prep_tables,
@@ -58,19 +57,13 @@ def main() -> int:
         next((m for m in MAXLEN_BUCKETS if m >= actual_max), ARITY_MAX_LEN[arity]),
         ARITY_MAX_LEN[arity],
     )
-    usyms, upacked, ubits, count = prep_tables(tables)
+    dense, count = prep_tables(tables, arity)
     used_mean = float(count.mean())
-    sh = PACKED_LEN_SHIFT.get(arity)
-    if sh is not None:
-        from data_compression_tpu.ops.encode_fast import BITS_PER_DIGIT
-
-        ud = ubits.astype(np.int64) // BITS_PER_DIGIT[arity]
-        upacked = ((ud << sh) | upacked.astype(np.int64)).astype(np.int32)
     meta = np.stack([count, lengths.astype(np.int32)], axis=1).astype(np.int32)
     syms_t = jnp.transpose(
         jnp.asarray(blocks).reshape(B, LANES, CHUNK_SYMS), (0, 2, 1)
     )
-    u1, u2, u3, mt = map(jnp.asarray, (usyms, upacked, ubits, meta))
+    dn, mt = jnp.asarray(dense), jnp.asarray(meta)
 
     report = {"arity": arity, "mb": mb, "used_symbols_mean": used_mean,
               "maxlen_bucket": maxlen}
@@ -114,7 +107,7 @@ def main() -> int:
         @jax.jit
         def step(s, stages=stages):
             byts, nb = _encode_pallas(
-                s, u1, u2, u3, mt, arity=arity, maxlen=maxlen, stages=stages
+                s, dn, mt, arity=arity, maxlen=maxlen, stages=stages
             )
             mix = jnp.tile(byts, (1, CHUNK_SYMS // byts.shape[1] + 1, 1))[
                 :, :CHUNK_SYMS, :
