@@ -160,11 +160,11 @@ def main() -> int:
             ]
             for b in range(B)
         ]
-        payload_t, dl, db, dsym, dm = dk.prep_decode_inputs(payloads, tables)
+        payload_t, dl, db, dsym = dk.prep_decode_inputs(payloads, tables)
 
         @jax.jit
         def decode_step(p):
-            out = dk._decode_pallas(p, dl, db, dsym, dm)  # [NC, 8C, 128]
+            out = dk._decode_pallas(p, dl, db, dsym)  # [NC, 8C, 128]
             mix = jnp.tile(out, (1, p.shape[1] // out.shape[1] + 1, 1))[
                 :, : p.shape[1], :
             ]

@@ -7,13 +7,19 @@ row group (digit j, block b) keeps the serial boundary walk's state at
 seriality in its bit cursor) costs ~1 op per digit per 8 blocks instead
 of per 1.  Stages, fusing ops/decode_fast.py's formulation in VMEM:
 
-  1/2/3. per 512-digit segment: payload bytes -> bit digits (digit-
-     major interleave via an axis-1 stack) -> sliding 15-bit window
-     values (Horner over contiguous row-offset slices) -> per-position
-     code length and canonical rank (compares/selects against per-block
-     VMEM table columns); (len-1) << 9 | (rank & 0xFF) + 1 lands in an
-     int16 scratch.  Ranks clamp to 8 bits so garbage at pad positions
-     cannot spill past their item field in the merge.
+  0. payload bytes -> packed 32-digit words, BIT-REVERSED once per
+     word (5-round SWAR) into a VMEM scratch, so digit j sits at bit
+     31-(j%32) of word j/32.  ~1 op/digit, paid once.
+  1/2/3. per 512-digit segment: the sliding 15-bit window W(j) is a
+     funnel shift of two reversed words — (lo << p) | (hi >> (32-p))
+     then >> 17 — ~6 ops/digit instead of the 15-step Horner (~40);
+     code length via compares against the monotone limit table; the
+     canonical rank is bmf[len] + (W >> (L-len)) with bmf fetched by a
+     per-block LANE GATHER over a 16-entry row and the shift taken with
+     a vector shift amount — constant cost, replacing a 15-iteration
+     select chain; (len-1) << 9 | (rank & 0xFF) + 1 lands in an int16
+     scratch.  Ranks clamp to 8 bits so garbage at pad positions cannot
+     spill past their item field in the merge.
   4. boundary walk over digit steps, state [8, 128]: dist==0 marks a
      codeword boundary; items (rank+1, else 0) overwrite the scratch in
      place.  No symbol-count guard: spurious boundaries only arise in a
@@ -25,8 +31,9 @@ of per 1.  Stages, fusing ops/decode_fast.py's formulation in VMEM:
      boundary, so the surviving 8 nodes are exactly the per-block
      segment buffers.  Segments fold into a running per-block
      accumulator with one multiword merge each.
-  6. rank -> symbol via a select loop over per-block VMEM symbol
-     columns, bounded by the cell's max used-symbol count, unrolled x8.
+  6. rank -> symbol via the encoder's dense-table lane gather
+     (_gather256): two lane-wise dynamic gathers + one select per
+     byte, constant cost regardless of alphabet density.
 
 Work is phased (2 segments per phase) so the int16 scratch stays at
 2 MB and peak VMEM ~11 MB.  Bit-exact with decode_chunks_fast
@@ -49,6 +56,7 @@ from data_compression_tpu.ops.huffman_coding import _cap_digits, max_chunk_bytes
 from data_compression_tpu.ops.pallas.encode_kernel import (
     CHUNK_SYMS,
     LANES,
+    _gather256,
     _mshl,
 )
 
@@ -88,50 +96,83 @@ def _seg_merge_sched():
 
 
 SUB = 256  # digits per stage-1/3 sub-segment (bounds live temporaries)
+PW = MBP // 4  # packed 32-digit words per block (256)
+WSEG = 64  # word groups per bit-reverse fill pass (bounds temporaries)
 
 
-def _digits_for_subseg(payload_ref, h):
-    """payload rows (byte m, block b) -> digit-major bits.
+def _i32(mask):
+    """Python int -> the int32 scalar with that bit pattern."""
+    return jnp.int32(mask - 2**32 if mask >= 2**31 else mask)
 
-    Returns [(SUB + 16) * 8, 128] int32 rows (digit j, block b) starting
-    at digit h*SUB; 16 digits of lookahead cover the L=15 window."""
-    row0 = h * (SUB // 8)
-    nrows = SUB // 8 + 2  # +2 byte rows cover the lookahead
-    take = min(row0 + nrows, MBP) - row0
-    rows = payload_ref[pl.ds(row0 * G8, take * G8), :].astype(jnp.int32)
-    if take < nrows:
-        rows = jnp.concatenate(
-            [rows, jnp.zeros(((nrows - take) * G8, LANES), jnp.int32)], axis=0
+
+def _bitrev32(x):
+    """Reverse the bits of each int32 element (5-round SWAR)."""
+    sr = jax.lax.shift_right_logical
+    for k, m in ((1, 0x55555555), (2, 0x33333333), (4, 0x0F0F0F0F), (8, 0x00FF00FF)):
+        x = sr(x & _i32(~m & 0xFFFFFFFF), k) | ((x & m) << k)
+    return sr(x, 16) | (x << 16)
+
+
+def _fill_reversed_words(payload_ref, words_ref):
+    """Pack payload bytes (LSB-first digits) into bit-reversed 32-digit
+    words: digit j of block b lands at bit 31-(j%32) of word row
+    (j/32)*G8 + b.  One trailing zero word group serves the funnel
+    shift's hi-word read at the last positions."""
+    for g in range(PW // WSEG):
+        rows = payload_ref[pl.ds(g * WSEG * 4 * G8, WSEG * 4 * G8), :].astype(
+            jnp.int32
         )
-    rows3 = rows.reshape(nrows, G8, LANES)
-    d4 = jnp.stack(
-        [jax.lax.shift_right_logical(rows3, k) & 1 for k in range(8)], axis=1
-    )  # [nrows, bit, block, LANES]
-    return d4.reshape(nrows * 8 * G8, LANES)
+        r4 = rows.reshape(WSEG, 4, G8, LANES)
+        w = r4[:, 0] | (r4[:, 1] << 8) | (r4[:, 2] << 16) | (r4[:, 3] << 24)
+        words_ref[pl.ds(g * WSEG * G8, WSEG * G8), :] = _bitrev32(w).reshape(
+            WSEG * G8, LANES
+        )
+    words_ref[pl.ds(PW * G8, G8), :] = jnp.zeros((G8, LANES), jnp.int32)
+
+
+def _windows_for_subseg(words_ref, h):
+    """Sliding 15-digit window values W(j) for digits h*SUB..h*SUB+SUB-1
+    via a funnel shift over the bit-reversed words: ~6 ops/digit.
+    Returns [SUB, G8, LANES] int32."""
+    w0 = h * (SUB // 32)
+    rows = words_ref[pl.ds(w0 * G8, (SUB // 32 + 1) * G8), :]
+    r3 = rows.reshape(SUB // 32 + 1, 1, G8, LANES)
+    shape = (SUB // 32, 32, G8, LANES)
+    lo = jnp.broadcast_to(r3[: SUB // 32], shape)
+    hi = jnp.broadcast_to(r3[1:], shape)
+    p = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    c = jax.lax.shift_left(lo, p) | jnp.where(
+        p == 0, 0, jax.lax.shift_right_logical(hi, (32 - p) & 31)
+    )
+    return jax.lax.shift_right_logical(c, 32 - L).reshape(SUB, G8, LANES)
 
 
 def _make_kernel(stages: int = 4):
     """stages: profiling ablation — 1: window/length/rank only,
     2: + boundary walk, 3: + compaction, 4: full (rank->symbol)."""
 
-    def kernel(limit_ref, bmf_ref, syms_ref, meta_ref, payload_ref, out_ref,
-               packed_ref, accw_ref, accb_ref):
-        _kernel_body(stages, limit_ref, bmf_ref, syms_ref, meta_ref,
-                     payload_ref, out_ref, packed_ref, accw_ref, accb_ref)
+    def kernel(limit_ref, bmf_ref, syms_ref, payload_ref, out_ref,
+               packed_ref, accw_ref, accb_ref, words_ref):
+        _kernel_body(stages, limit_ref, bmf_ref, syms_ref,
+                     payload_ref, out_ref, packed_ref, accw_ref, accb_ref,
+                     words_ref)
 
     return kernel
 
 
-def _kernel_body(stages, limit_ref, bmf_ref, syms_ref, meta_ref, payload_ref,
-                 out_ref, packed_ref, accw_ref, accb_ref):
+def _kernel_body(stages, limit_ref, bmf_ref, syms_ref, payload_ref,
+                 out_ref, packed_ref, accw_ref, accb_ref, words_ref):
     pay_ref = payload_ref.at[0]  # [MBP*8, 128] rows (byte, block)
+
+    # stage 0: bit-reversed packed words, once per cell
+    _fill_reversed_words(pay_ref, words_ref)
 
     # per-block table columns, lane-broadcast once: [8, 128] each
     lim8 = [None] * (L + 1)
-    bmf8 = [None] * (L + 1)
     for l in range(1, L + 1):
         lim8[l] = jnp.broadcast_to(limit_ref[0, :, l][:, None], (G8, LANES))
-        bmf8[l] = jnp.broadcast_to(bmf_ref[0, :, l][:, None], (G8, LANES))
+    # per-block bmf rows for the lane gather: lane l holds bmf[b][l]
+    bmf_rows = [bmf_ref[0, b:b + 1, :] for b in range(G8)]  # [1, 128] each
 
     dist = jnp.zeros((G8, LANES), jnp.int32)
     first_seg = True
@@ -140,25 +181,21 @@ def _kernel_body(stages, limit_ref, bmf_ref, syms_ref, meta_ref, payload_ref,
         # stages 1-3: fill packed scratch for this phase's segments
         for h4 in range(PH_SEG * SEG // SUB):
             h = phase * (PH_SEG * SEG // SUB) + h4
-            d = _digits_for_subseg(pay_ref, h)  # [(SUB+16)*8, 128]
-            W = jnp.zeros((SUB * G8, LANES), jnp.int32)
-            for k in range(L):
-                W = W * 2 + jax.lax.slice(
-                    d, (k * G8, 0), (k * G8 + SUB * G8, LANES)
-                )
-            W3 = W.reshape(SUB, G8, LANES)
+            W3 = _windows_for_subseg(words_ref, h)  # [SUB, G8, LANES]
             ln = jnp.ones((SUB, G8, LANES), jnp.int32)
             for l in range(1, L):
                 ln = ln + (W3 >= lim8[l]).astype(jnp.int32)
-            rank = jnp.zeros((SUB, G8, LANES), jnp.int32)
-            for l in range(1, L + 1):
-                sel = ln == l
-                rank = jnp.where(
-                    sel,
-                    bmf8[l] + jax.lax.shift_right_logical(W3, L - l),
-                    rank,
+            # rank = bmf[len] + (W >> (L-len)): per-block lane gather
+            # over a 16-entry row + one vector-amount shift
+            cols = []
+            for b in range(G8):
+                ln_b = ln[:, b, :]
+                bmf_g = jnp.take_along_axis(
+                    jnp.broadcast_to(bmf_rows[b], (SUB, LANES)), ln_b, axis=1
                 )
-            packed = ((ln - 1) << 9) | ((rank & 0xFF) + 1)
+                rank = bmf_g + jax.lax.shift_right_logical(W3[:, b, :], L - ln_b)
+                cols.append(((ln_b - 1) << 9) | ((rank & 0xFF) + 1))
+            packed = jnp.stack(cols, axis=1)  # [SUB, G8, LANES]
             packed_ref[pl.ds(h4 * SUB * G8, SUB * G8), :] = (
                 packed.reshape(SUB * G8, LANES).astype(jnp.int16)
             )
@@ -235,35 +272,27 @@ def _kernel_body(stages, limit_ref, bmf_ref, syms_ref, meta_ref, payload_ref,
         out_ref[0] = rb.reshape(G8 * C, LANES).astype(jnp.uint8)
         return
 
-    # stage 6: rank -> symbol.  Per block: a select loop over the
-    # block's used-symbol count (SMEM scalars; dynamic SMEM indexing is
-    # free), unrolled x8 — same per-byte cost as the encoder's lookup.
+    # stage 6: rank -> symbol via the encoder's dense lane gather —
+    # two take_along_axis + one select per byte, density-independent.
     outs = []
     for b in range(G8):
-        rb_b = rb[b]  # [C, LANES]
-        K = meta_ref[0, b, 0]
-
-        def body(r8, out, b=b, rb_b=rb_b):
-            base = r8 * 8
-            for u in range(8):
-                out = jnp.where(
-                    rb_b == base + u, syms_ref[0, b, base + u], out
-                )
-            return out
-
+        rb_b = rb[b]  # [C, LANES], values in [0, 256)
         outs.append(
-            jax.lax.fori_loop(
-                0, (K + 7) // 8, body, jnp.zeros((C, LANES), jnp.int32)
+            _gather256(
+                syms_ref[0, 2 * b:2 * b + 1, :],
+                syms_ref[0, 2 * b + 1:2 * b + 2, :],
+                rb_b,
             )
         )
     out_ref[0] = jnp.concatenate(outs, axis=0).astype(jnp.uint8)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "stages"))
-def _decode_pallas(payload_t, limit, bmf, syms, meta, *, interpret=False, stages=4):
+def _decode_pallas(payload_t, limit, bmf, syms, *, interpret=False, stages=4):
     """payload_t: [NC, MBP*8, 128] uint8, rows (byte, block-in-group);
-    limit/bmf: [NC, 8, L+1] int32; syms: [NC, 8, 256] int32 (SMEM);
-    meta: [NC, 8, 2] int32 (slot 0: per-block used-symbol count).
+    limit: [NC, 8, L+1] int32; bmf: [NC, 8, 128] int32 (lane l of row b
+    holds base_minus_first[b][l]); syms: [NC, 16, 128] int32 (rows
+    2b/2b+1 hold block b's symbols 0-127 / 128-255).
     Returns [NC, 8*C, 128] uint8 rows (block-in-group, symbol)."""
     NC = payload_t.shape[0]
     return pl.pallas_call(
@@ -271,9 +300,8 @@ def _decode_pallas(payload_t, limit, bmf, syms, meta, *, interpret=False, stages
         grid=(NC,),
         in_specs=[
             pl.BlockSpec((1, G8, L + 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, G8, L + 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, G8, 256), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, G8, 2), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, G8, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * G8, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, MBP * G8, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -284,18 +312,19 @@ def _decode_pallas(payload_t, limit, bmf, syms, meta, *, interpret=False, stages
             pltpu.VMEM((PH_SEG * SEG * G8, LANES), jnp.int16),  # packed/items
             pltpu.VMEM((G8 * _SEG_WF, LANES), jnp.int32),  # accumulator words
             pltpu.VMEM((G8, LANES), jnp.int32),  # accumulator bit counts
+            pltpu.VMEM(((PW + 1) * G8, LANES), jnp.int32),  # reversed words
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(limit, bmf, syms, meta, payload_t)
+    )(limit, bmf, syms, payload_t)
 
 
 def prep_decode_inputs(payloads_by_block, tables):
     """Host packing: ragged chunk payloads + per-block tables -> the
-    kernel's cell-grouped device arrays (payload_t, limit, bmf, syms,
-    meta).  Blocks pad to a multiple of 8 with empty cells."""
+    kernel's cell-grouped device arrays (payload_t, limit, bmf, syms).
+    Blocks pad to a multiple of 8 with empty cells."""
     B = len(payloads_by_block)
     NC = -(-B // G8)  # grid cells; tail cell padded with empty blocks
     BP = NC * G8
@@ -318,26 +347,23 @@ def prep_decode_inputs(payloads_by_block, tables):
     )
 
     limit = np.zeros((NC, G8, L + 1), np.int32)
-    bmf = np.zeros((NC, G8, L + 1), np.int32)
-    syms = np.zeros((NC, G8, 256), np.int32)
-    used = np.zeros(BP, np.int32)
+    bmf = np.zeros((NC, G8, LANES), np.int32)  # lane l = bmf[b][l]
+    syms = np.zeros((NC, 2 * G8, LANES), np.int32)  # rows 2b/2b+1
     cache = {}
     for b, t in enumerate(tables):
         if id(t) not in cache:
             cache[id(t)] = build_decode_tables(t, pad_to=L)
         d = cache[id(t)]
         limit[b // G8, b % G8] = d["limit_scaled"]
-        bmf[b // G8, b % G8] = d["base_minus_first"]
-        syms[b // G8, b % G8] = d["symbols"]
-        used[b] = t.sorted_symbols.size
-    meta = np.zeros((NC, G8, 2), np.int32)
-    meta[:, :, 0] = used.reshape(NC, G8)
+        bmf[b // G8, b % G8, : L + 1] = d["base_minus_first"]
+        syms[b // G8, 2 * (b % G8):2 * (b % G8) + 2] = d["symbols"].reshape(
+            2, LANES
+        )
     return (
         payload_t,
         jnp.asarray(limit),
         jnp.asarray(bmf),
         jnp.asarray(syms),
-        jnp.asarray(meta),
     )
 
 

@@ -137,12 +137,12 @@ def main() -> int:
             ]
             for b in range(B)
         ]
-        payload_t, dl, db, dsym, dm = dk.prep_decode_inputs(payloads, tables)
+        payload_t, dl, db, dsym = dk.prep_decode_inputs(payloads, tables)
         dec = {}
         for stages in (1, 2, 3, 4):
             @jax.jit
             def dstep(p, stages=stages):
-                out = dk._decode_pallas(p, dl, db, dsym, dm, stages=stages)
+                out = dk._decode_pallas(p, dl, db, dsym, stages=stages)
                 mix = jnp.tile(out, (1, p.shape[1] // out.shape[1] + 1, 1))[
                     :, : p.shape[1], :
                 ]
