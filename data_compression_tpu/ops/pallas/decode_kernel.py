@@ -12,32 +12,35 @@ of per 1.  Stages, fusing ops/decode_fast.py's formulation in VMEM:
      31-(j%32) of word j/32.  ~1 op/digit, paid once.
   1/2/3. per 512-digit segment: the sliding 15-bit window W(j) is a
      funnel shift of two reversed words — (lo << p) | (hi >> (32-p))
-     then >> 17 — ~6 ops/digit instead of the 15-step Horner (~40);
+     then >> 17 — ~6 ops/digit instead of a 15-step Horner (~40);
      code length via compares against the monotone limit table; the
-     canonical rank is bmf[len] + (W >> (L-len)) with bmf fetched by a
-     per-block LANE GATHER over a 16-entry row and the shift taken with
-     a vector shift amount — constant cost, replacing a 15-iteration
-     select chain; (len-1) << 9 | (rank & 0xFF) + 1 lands in an int16
-     scratch.  Ranks clamp to 8 bits so garbage at pad positions cannot
-     spill past their item field in the merge.
+     canonical rank is bmf[len] + (W >> (L-len)) with bmf fetched by
+     ONE batched lane gather over per-block 16-entry rows and the
+     shift taken with a vector shift amount — constant cost, replacing
+     a 15-iteration select chain; (len-1) << 9 | (rank & 0xFF) + 1
+     lands in an int32 scratch.  Ranks clamp to 8 bits so garbage at
+     pad positions cannot spill past their item field in the merge.
   4. boundary walk over digit steps, state [8, 128]: dist==0 marks a
      codeword boundary; items (rank+1, else 0) overwrite the scratch in
      place.  No symbol-count guard: spurious boundaries only arise in a
      chunk's zero-pad tail, whose output slots reassembly discards.
-  5. compaction: each segment's (4096 = 512 digits x 8 blocks) items
-     become 0/8-bit fields in the encoder's scatter-free merge tree
-     (ops/pallas/encode_kernel._mshl).  The tree stops at P = 8: level
-     <= 9 pair groups span 2^l <= 512 digits and never cross a block
-     boundary, so the surviving 8 nodes are exactly the per-block
-     segment buffers.  Segments fold into a running per-block
-     accumulator with one multiword merge each.
-  6. rank -> symbol via the encoder's dense-table lane gather
-     (_gather256): two lane-wise dynamic gathers + one select per
-     byte, constant cost regardless of alphabet density.
+  5. compaction: the segment's items are transposed ONCE to block-major
+     rows (block b, digit d) so the scatter-free merge tree runs on the
+     encoder's proven [P/2, 2, W, 128] shapes (a 5-D digit-major
+     formulation measured ~6x slower from Mosaic relayouts).  The tree
+     stops at P = 8 nodes = the per-block segment buffers, which fold
+     into a running per-block accumulator with one multiword merge.
+  6. rank -> symbol via one batched dense-table lane gather over
+     [8, C, 128] (two take_along_axis + one select per byte, constant
+     cost regardless of alphabet density).
 
-Work is phased (2 segments per phase) so the int16 scratch stays at
-2 MB and peak VMEM ~11 MB.  Bit-exact with decode_chunks_fast
-(interpret-mode tests) and against the encoder on chip.
+THE WHOLE PIPELINE IS BOUNDED BY THE CELL'S ACTUAL PAYLOAD, not its
+worst-case capacity: a per-cell segment count (SMEM scalar, from the
+host packer) drives `jax.lax.fori_loop`s for the word fill and the
+segment pipeline.  At a typical 0.58 compression ratio this skips
+~2/3 of the capacity-padded digits the previous revision always
+processed.  Bit-exact with decode_chunks_fast (interpret-mode tests)
+and against the encoder on chip.
 """
 
 from __future__ import annotations
@@ -70,22 +73,26 @@ CAPP = 8192  # padded digit capacity (payload padded to 1024 bytes)
 MBP = CAPP // 8  # 1024 padded payload bytes
 NSEGP = CAPP // SEG  # 16
 G8 = 8  # blocks per grid cell
-PH_SEG = 2  # segments per phase (scratch = PH_SEG*SEG*8 rows of int16)
 WALK_BLK = 8  # digit steps per walk loop iteration
 
 _SEG_OUT_BITS = C * 8  # per-block output capacity in bits (4096)
 _SEG_WF = _SEG_OUT_BITS // 32  # 128 words per block
 
+SUB = 256  # digits per stage-1/3 sub-segment (bounds live temporaries)
+WPS = SEG // 32  # packed words per segment per block (16)
+PW = MBP // 4  # packed 32-digit words per block at capacity (256)
+
 
 def _seg_merge_sched():
-    """Merge-tree schedule for one segment: 512 digit items per block
-    down to one node per block.  The block dimension rides along as an
-    explicit axis so pairs always combine adjacent DIGITS of the same
-    block (items are digit-major: row = digit * 8 + block)."""
+    """Merge-tree schedule for one segment in BLOCK-MAJOR layout: the
+    8 blocks' 512 digit items ride as one flattened [4096] node axis
+    (rows b*SEG+d), so pairs always combine adjacent digits of the
+    same block and every level keeps the encoder's array shapes.  The
+    tree stops at P = 8: the survivors are the per-block buffers."""
     sched = []
-    P, W = SEG, 1
+    P, W = G8 * SEG, 1
     level = 0
-    while P > 1:
+    while P > G8:
         level += 1
         need = min((1 << level) * 8, _SEG_OUT_BITS)
         W2 = min(-(-need // 32), _SEG_WF)
@@ -93,11 +100,6 @@ def _seg_merge_sched():
         P //= 2
         W = W2
     return sched
-
-
-SUB = 256  # digits per stage-1/3 sub-segment (bounds live temporaries)
-PW = MBP // 4  # packed 32-digit words per block (256)
-WSEG = 64  # word groups per bit-reverse fill pass (bounds temporaries)
 
 
 def _i32(mask):
@@ -113,21 +115,26 @@ def _bitrev32(x):
     return sr(x, 16) | (x << 16)
 
 
-def _fill_reversed_words(payload_ref, words_ref):
+def _fill_reversed_words(payload_ref, words_ref, nseg):
     """Pack payload bytes (LSB-first digits) into bit-reversed 32-digit
     words: digit j of block b lands at bit 31-(j%32) of word row
-    (j/32)*G8 + b.  One trailing zero word group serves the funnel
-    shift's hi-word read at the last positions."""
-    for g in range(PW // WSEG):
-        rows = payload_ref[pl.ds(g * WSEG * 4 * G8, WSEG * 4 * G8), :].astype(
+    (j/32)*G8 + b.  Only the segments the pipeline will walk are
+    packed (``nseg`` from SMEM); one trailing zero word group serves
+    the funnel shift's hi-word read at the last positions."""
+
+    def fill(g, _):
+        rows = payload_ref[pl.ds(g * WPS * 4 * G8, WPS * 4 * G8), :].astype(
             jnp.int32
         )
-        r4 = rows.reshape(WSEG, 4, G8, LANES)
+        r4 = rows.reshape(WPS, 4, G8, LANES)
         w = r4[:, 0] | (r4[:, 1] << 8) | (r4[:, 2] << 16) | (r4[:, 3] << 24)
-        words_ref[pl.ds(g * WSEG * G8, WSEG * G8), :] = _bitrev32(w).reshape(
-            WSEG * G8, LANES
+        words_ref[pl.ds(g * WPS * G8, WPS * G8), :] = _bitrev32(w).reshape(
+            WPS * G8, LANES
         )
-    words_ref[pl.ds(PW * G8, G8), :] = jnp.zeros((G8, LANES), jnp.int32)
+        return 0
+
+    jax.lax.fori_loop(0, nseg, fill, 0)
+    words_ref[pl.ds(nseg * WPS * G8, G8), :] = jnp.zeros((G8, LANES), jnp.int32)
 
 
 def _windows_for_subseg(words_ref, h):
@@ -151,62 +158,69 @@ def _make_kernel(stages: int = 4):
     """stages: profiling ablation — 1: window/length/rank only,
     2: + boundary walk, 3: + compaction, 4: full (rank->symbol)."""
 
-    def kernel(limit_ref, bmf_ref, syms_ref, payload_ref, out_ref,
+    def kernel(limit_ref, bmf_ref, syms_ref, meta_ref, payload_ref, out_ref,
                packed_ref, accw_ref, accb_ref, words_ref):
-        _kernel_body(stages, limit_ref, bmf_ref, syms_ref,
+        _kernel_body(stages, limit_ref, bmf_ref, syms_ref, meta_ref,
                      payload_ref, out_ref, packed_ref, accw_ref, accb_ref,
                      words_ref)
 
     return kernel
 
 
-def _kernel_body(stages, limit_ref, bmf_ref, syms_ref, payload_ref,
+def _kernel_body(stages, limit_ref, bmf_ref, syms_ref, meta_ref, payload_ref,
                  out_ref, packed_ref, accw_ref, accb_ref, words_ref):
     pay_ref = payload_ref.at[0]  # [MBP*8, 128] rows (byte, block)
+    nseg = meta_ref[0, 0, 0]  # segments this cell actually needs
 
-    # stage 0: bit-reversed packed words, once per cell
-    _fill_reversed_words(pay_ref, words_ref)
+    # stage 0: bit-reversed packed words for the walked region only
+    _fill_reversed_words(pay_ref, words_ref, nseg)
 
     # per-block table columns, lane-broadcast once: [8, 128] each
     lim8 = [None] * (L + 1)
     for l in range(1, L + 1):
         lim8[l] = jnp.broadcast_to(limit_ref[0, :, l][:, None], (G8, LANES))
-    # per-block bmf rows for the lane gather: lane l holds bmf[b][l]
-    bmf_rows = [bmf_ref[0, b:b + 1, :] for b in range(G8)]  # [1, 128] each
+    bmf_all = bmf_ref[0]  # [G8, 128]: lane l of row b = bmf[b][l]
 
-    dist = jnp.zeros((G8, LANES), jnp.int32)
-    first_seg = True
+    accw_ref[:, :] = jnp.zeros((G8 * _SEG_WF, LANES), jnp.int32)
+    accb_ref[:, :] = jnp.zeros((G8, LANES), jnp.int32)
+    sched = _seg_merge_sched()
 
-    for phase in range(NSEGP // PH_SEG):
-        # stages 1-3: fill packed scratch for this phase's segments
-        for h4 in range(PH_SEG * SEG // SUB):
-            h = phase * (PH_SEG * SEG // SUB) + h4
+    def seg_body(sg, dist):
+        # stages 1-3: fill the segment's packed scratch
+        for h4 in range(SEG // SUB):
+            h = sg * (SEG // SUB) + h4
             W3 = _windows_for_subseg(words_ref, h)  # [SUB, G8, LANES]
             ln = jnp.ones((SUB, G8, LANES), jnp.int32)
             for l in range(1, L):
                 ln = ln + (W3 >= lim8[l]).astype(jnp.int32)
-            # rank = bmf[len] + (W >> (L-len)): per-block lane gather
-            # over a 16-entry row + one vector-amount shift
+            # rank = bmf[len] + (W >> (L-len)): per-block 2-D lane
+            # gather over a 16-entry row (Mosaic supports 2-D gathers
+            # only) + one vector-amount shift
             cols = []
             for b in range(G8):
                 ln_b = ln[:, b, :]
                 bmf_g = jnp.take_along_axis(
-                    jnp.broadcast_to(bmf_rows[b], (SUB, LANES)), ln_b, axis=1
+                    jnp.broadcast_to(bmf_all[b:b + 1], (SUB, LANES)),
+                    ln_b, axis=1,
                 )
-                rank = bmf_g + jax.lax.shift_right_logical(W3[:, b, :], L - ln_b)
+                rank = bmf_g + jax.lax.shift_right_logical(
+                    W3[:, b, :], L - ln_b
+                )
                 cols.append(((ln_b - 1) << 9) | ((rank & 0xFF) + 1))
             packed = jnp.stack(cols, axis=1)  # [SUB, G8, LANES]
-            packed_ref[pl.ds(h4 * SUB * G8, SUB * G8), :] = (
-                packed.reshape(SUB * G8, LANES).astype(jnp.int16)
+            packed_ref[pl.ds(h4 * SUB * G8, SUB * G8), :] = packed.reshape(
+                SUB * G8, LANES
             )
 
         if stages <= 1:
-            continue
+            # keep the fill observable without the downstream stages
+            accb_ref[:, :] = accb_ref[:, :] ^ packed_ref[0:G8, :]
+            return dist
 
         # stage 4: boundary walk, [8,128] state, in-place item rewrite
         def walk(i, dist):
             base = pl.multiple_of(i * WALK_BLK * G8, WALK_BLK * G8)
-            blk = packed_ref[pl.ds(base, WALK_BLK * G8), :].astype(jnp.int32)
+            blk = packed_ref[pl.ds(base, WALK_BLK * G8), :]
             outs = []
             for u in range(WALK_BLK):
                 row = jax.lax.slice(blk, (u * G8, 0), ((u + 1) * G8, LANES))
@@ -217,49 +231,50 @@ def _kernel_body(stages, limit_ref, bmf_ref, syms_ref, payload_ref,
                 )
             packed_ref[pl.ds(base, WALK_BLK * G8), :] = jnp.concatenate(
                 outs, axis=0
-            ).astype(jnp.int16)
+            )
             return dist
 
-        dist = jax.lax.fori_loop(0, PH_SEG * SEG // WALK_BLK, walk, dist)
+        dist = jax.lax.fori_loop(0, SEG // WALK_BLK, walk, dist)
 
         if stages <= 2:
-            continue
+            # keep the walk's item rewrite observable for the ablation
+            accb_ref[:, :] = accb_ref[:, :] ^ packed_ref[0:G8, :]
+            return dist
 
-        # stage 5: per-segment compaction + fold into the accumulator
-        sched = _seg_merge_sched()
-        for s4 in range(PH_SEG):
-            it = packed_ref[pl.ds(s4 * SEG * G8, SEG * G8), :].astype(jnp.int32)
-            # rows are digit-major (digit j, block b): keep the block
-            # axis explicit so tree pairs combine digits per block
-            words = jnp.maximum(it - 1, 0).reshape(SEG, G8, 1, LANES)
-            lw = jnp.where(it > 0, 8, 0).reshape(SEG, G8, LANES)
-            for (P, Wc, W2) in sched:
-                x = words.reshape(P // 2, 2, G8, Wc, LANES)
-                a, b = x[:, 0], x[:, 1]
-                ll = lw.reshape(P // 2, 2, G8, LANES)
-                la, lb = ll[:, 0], ll[:, 1]
-                if W2 > Wc:
-                    padw = [(0, 0), (0, 0), (0, W2 - Wc), (0, 0)]
-                    a = jnp.pad(a, padw)
-                    b = jnp.pad(b, padw)
-                words = a | _mshl(b, la[:, :, None, :])
-                lw = la + lb
-            # words [1, 8, _SEG_WF, 128], lw [1, 8, 128] per-block
-            words = words[0]
-            lw = lw[0]
-            if first_seg:
-                accw_ref[:, :] = words.reshape(G8 * _SEG_WF, LANES)
-                accb_ref[:, :] = lw
-                first_seg = False
-            else:
-                aw = accw_ref[:, :].reshape(G8, _SEG_WF, LANES)
-                ab = accb_ref[:, :]
-                merged = aw | _mshl(words, ab[:, None, :])
-                accw_ref[:, :] = merged.reshape(G8 * _SEG_WF, LANES)
-                accb_ref[:, :] = ab + lw
+        # stage 5: transpose to block-major once, merge on encode shapes
+        it = packed_ref[:, :]  # [SEG*G8, LANES] rows (digit, block)
+        itb = jnp.transpose(it.reshape(SEG, G8, LANES), (1, 0, 2))
+        words = jnp.maximum(itb - 1, 0).reshape(G8 * SEG, 1, LANES)
+        lw = jnp.where(itb > 0, 8, 0).reshape(G8 * SEG, LANES)
+        for (P, Wc, W2) in sched:
+            x = words.reshape(P // 2, 2, Wc, LANES)
+            a, b = x[:, 0], x[:, 1]
+            ll = lw.reshape(P // 2, 2, LANES)
+            la, lb = ll[:, 0], ll[:, 1]
+            if W2 > Wc:
+                padw = [(0, 0), (0, W2 - Wc), (0, 0)]
+                a = jnp.pad(a, padw)
+                b = jnp.pad(b, padw)
+            words = a | _mshl(b, la[:, None, :])
+            lw = la + lb
+        # words [G8, _SEG_WF, 128], lw [G8, 128]: fold into accumulator
+        aw = accw_ref[:, :].reshape(G8, _SEG_WF, LANES)
+        ab = accb_ref[:, :]
+        merged = aw | _mshl(words.reshape(G8, _SEG_WF, LANES), ab[:, None, :])
+        accw_ref[:, :] = merged.reshape(G8 * _SEG_WF, LANES)
+        accb_ref[:, :] = ab + lw
+        return dist
+
+    jax.lax.fori_loop(
+        0, nseg, seg_body, jnp.zeros((G8, LANES), jnp.int32)
+    )
 
     if stages <= 2:
-        out_ref[0] = jnp.zeros((G8 * C, LANES), jnp.uint8)
+        # ablation mode: surface the per-stage fold so nothing is DCE'd
+        acc = accb_ref[:, :] & 0xFF
+        out_ref[0] = jnp.broadcast_to(
+            acc[:, None, :], (G8, C, LANES)
+        ).reshape(G8 * C, LANES).astype(jnp.uint8)
         return
 
     buf = accw_ref[:, :].reshape(G8, _SEG_WF, LANES)  # per-block rank bytes
@@ -272,8 +287,8 @@ def _kernel_body(stages, limit_ref, bmf_ref, syms_ref, payload_ref,
         out_ref[0] = rb.reshape(G8 * C, LANES).astype(jnp.uint8)
         return
 
-    # stage 6: rank -> symbol via the encoder's dense lane gather —
-    # two take_along_axis + one select per byte, density-independent.
+    # stage 6: rank -> symbol via per-block dense lane gathers (2-D:
+    # Mosaic's gather limit) — two take_along_axis + a select per byte.
     outs = []
     for b in range(G8):
         rb_b = rb[b]  # [C, LANES], values in [0, 256)
@@ -288,11 +303,12 @@ def _kernel_body(stages, limit_ref, bmf_ref, syms_ref, payload_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "stages"))
-def _decode_pallas(payload_t, limit, bmf, syms, *, interpret=False, stages=4):
+def _decode_pallas(payload_t, limit, bmf, syms, meta, *, interpret=False, stages=4):
     """payload_t: [NC, MBP*8, 128] uint8, rows (byte, block-in-group);
     limit: [NC, 8, L+1] int32; bmf: [NC, 8, 128] int32 (lane l of row b
     holds base_minus_first[b][l]); syms: [NC, 16, 128] int32 (rows
-    2b/2b+1 hold block b's symbols 0-127 / 128-255).
+    2b/2b+1 hold block b's symbols 0-127 / 128-255); meta: [NC, 1, 2]
+    int32 (slot 0: the cell's segment count = ceil(max digits / SEG)).
     Returns [NC, 8*C, 128] uint8 rows (block-in-group, symbol)."""
     NC = payload_t.shape[0]
     return pl.pallas_call(
@@ -302,6 +318,7 @@ def _decode_pallas(payload_t, limit, bmf, syms, *, interpret=False, stages=4):
             pl.BlockSpec((1, G8, L + 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, G8, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2 * G8, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 2), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, MBP * G8, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -309,7 +326,7 @@ def _decode_pallas(payload_t, limit, bmf, syms, *, interpret=False, stages=4):
         ),
         out_shape=jax.ShapeDtypeStruct((NC, G8 * C, LANES), jnp.uint8),
         scratch_shapes=[
-            pltpu.VMEM((PH_SEG * SEG * G8, LANES), jnp.int16),  # packed/items
+            pltpu.VMEM((SEG * G8, LANES), jnp.int32),  # packed/items
             pltpu.VMEM((G8 * _SEG_WF, LANES), jnp.int32),  # accumulator words
             pltpu.VMEM((G8, LANES), jnp.int32),  # accumulator bit counts
             pltpu.VMEM(((PW + 1) * G8, LANES), jnp.int32),  # reversed words
@@ -318,13 +335,14 @@ def _decode_pallas(payload_t, limit, bmf, syms, *, interpret=False, stages=4):
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(limit, bmf, syms, payload_t)
+    )(limit, bmf, syms, meta, payload_t)
 
 
 def prep_decode_inputs(payloads_by_block, tables):
     """Host packing: ragged chunk payloads + per-block tables -> the
-    kernel's cell-grouped device arrays (payload_t, limit, bmf, syms).
-    Blocks pad to a multiple of 8 with empty cells."""
+    kernel's cell-grouped device arrays (payload_t, limit, bmf, syms,
+    meta).  Blocks pad to a multiple of 8 with empty cells; meta[c,0,0]
+    is cell c's segment count from its longest chunk payload."""
     B = len(payloads_by_block)
     NC = -(-B // G8)  # grid cells; tail cell padded with empty blocks
     BP = NC * G8
@@ -346,6 +364,12 @@ def prep_decode_inputs(payloads_by_block, tables):
         ).reshape(NC, MBP * G8, LANES)
     )
 
+    # per-cell segment count: ceil(max digits / SEG), >= 1 so the
+    # trailing zero word group always exists for the funnel lookahead
+    nb_cell = nb.reshape(NC, G8 * LANES).max(axis=1)
+    meta = np.zeros((NC, 1, 2), np.int32)
+    meta[:, 0, 0] = np.maximum(1, -(-(nb_cell * 8) // SEG))
+
     limit = np.zeros((NC, G8, L + 1), np.int32)
     bmf = np.zeros((NC, G8, LANES), np.int32)  # lane l = bmf[b][l]
     syms = np.zeros((NC, 2 * G8, LANES), np.int32)  # rows 2b/2b+1
@@ -364,6 +388,7 @@ def prep_decode_inputs(payloads_by_block, tables):
         jnp.asarray(limit),
         jnp.asarray(bmf),
         jnp.asarray(syms),
+        jnp.asarray(meta),
     )
 
 

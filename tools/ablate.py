@@ -105,16 +105,13 @@ def main() -> int:
     enc = {}
     for stages in (1, 2, 3):
         @jax.jit
-        def step(s, stages=stages):
+        def step(s, dn, mt, stages=stages):
             byts, nb = _encode_pallas(
                 s, dn, mt, arity=arity, maxlen=maxlen, stages=stages
             )
-            mix = jnp.tile(byts, (1, CHUNK_SYMS // byts.shape[1] + 1, 1))[
-                :, :CHUNK_SYMS, :
-            ]
-            return s ^ (mix & 0x7F)
+            return s ^ (byts[:, :CHUNK_SYMS, :] & 0x7F)
 
-        best = time_chain(step, syms_t)
+        best = time_chain(step, syms_t, dn, mt)
         enc[stages] = best
         report[f"encode_stage{stages}_ms"] = round(best * 1e3, 3)
     report["encode_lookup_ms"] = round(enc[1] * 1e3, 3)
@@ -137,18 +134,18 @@ def main() -> int:
             ]
             for b in range(B)
         ]
-        payload_t, dl, db, dsym = dk.prep_decode_inputs(payloads, tables)
+        payload_t, dl, db, dsym, dmeta = dk.prep_decode_inputs(payloads, tables)
         dec = {}
         for stages in (1, 2, 3, 4):
             @jax.jit
-            def dstep(p, stages=stages):
-                out = dk._decode_pallas(p, dl, db, dsym, stages=stages)
+            def dstep(p, dl, db, dsym, dmeta, stages=stages):
+                out = dk._decode_pallas(p, dl, db, dsym, dmeta, stages=stages)
                 mix = jnp.tile(out, (1, p.shape[1] // out.shape[1] + 1, 1))[
                     :, : p.shape[1], :
                 ]
                 return p ^ mix
 
-            best = time_chain(dstep, payload_t)
+            best = time_chain(dstep, payload_t, dl, db, dsym, dmeta)
             dec[stages] = best
             report[f"decode_stage{stages}_ms"] = round(best * 1e3, 3)
         report["decode_window_ms"] = round(dec[1] * 1e3, 3)
