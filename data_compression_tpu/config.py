@@ -37,15 +37,39 @@ DEFAULT_CHUNK_SYMS = 512
 # the same bound (n_ary_huffman.c:1414).
 MAX_CODE_LEN = 15
 
-# Per-arity length caps chosen so code values and scaled decode windows
-# fit in int32 on device (TPU int64 is off by default): n^cap < 2^31.
-# 16^7 = 2^28; 3^15 ~= 14.3M; 2^15 = 32768.
-ARITY_MAX_LEN = {2: 15, 3: 15, 16: 7}
+# Arities with bit-field wire packing and device/native fast paths
+# (1-bit / 2-bit-trit / 4-bit fields).  Any other n in [2, 64] rides
+# the generic host path — the reference's own experiments cover 9- and
+# 10-ary (n_ary_huffman.c:1161-1208 is generic over compressed_symbols).
+FAST_ARITIES = (2, 3, 16)
+MAX_ARITY = 64
 
-# Digits packed per output byte: n=2 -> 8 bits, n=3 -> 5 trits
-# (3^5 = 243 <= 255, the reference's trit-packing note at
-# n_ary_huffman.c:745-753), n=16 -> 2 nybbles.
-ARITY_DIGITS_PER_BYTE = {2: 8, 3: 5, 16: 2}
+
+def _digits_per_byte(n: int) -> int:
+    """Largest D with n**D <= 256: the wire packs D base-n digits per
+    byte little-endian (generalizes the reference's 5-trits-per-byte
+    note, n_ary_huffman.c:745-753)."""
+    d = 1
+    while n ** (d + 1) <= 256:
+        d += 1
+    return d
+
+
+def _arity_cap(n: int) -> int:
+    """Length cap: code values and scaled decode windows must fit in
+    int32 on device (TPU int64 is off by default): n^cap < 2^31; and
+    the global MAX_CODE_LEN mirrors the reference's < 16 assertion."""
+    cap = 1
+    while n ** (cap + 1) < 2**31:
+        cap += 1
+    return min(cap, MAX_CODE_LEN)
+
+
+# n=2 -> 15 / 8 bits-per-byte; n=3 -> 15 / 5 trits; n=16 -> 7 / 2
+# nybbles (identical to the hand-derived round-1 values); filled for
+# every supported arity so the generic host path needs no special case.
+ARITY_MAX_LEN = {n: _arity_cap(n) for n in range(2, MAX_ARITY + 1)}
+ARITY_DIGITS_PER_BYTE = {n: _digits_per_byte(n) for n in range(2, MAX_ARITY + 1)}
 
 
 @dataclasses.dataclass(frozen=True)
@@ -76,8 +100,10 @@ class CodecConfig:
     def __post_init__(self):
         if self.codec not in CODEC_IDS:
             raise ValueError(f"unknown codec {self.codec!r}")
-        if self.codec == "huffman" and self.arity not in (2, 3, 16):
-            raise ValueError(f"huffman arity must be 2, 3 or 16, got {self.arity}")
+        if self.codec == "huffman" and not 2 <= self.arity <= MAX_ARITY:
+            raise ValueError(
+                f"huffman arity must be in [2, {MAX_ARITY}], got {self.arity}"
+            )
         if self.block_size <= 0 or self.block_size > 2**31:
             raise ValueError(f"bad block_size {self.block_size}")
         if self.chunk_syms <= 0 or self.block_size % self.chunk_syms:

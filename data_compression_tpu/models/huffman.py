@@ -36,6 +36,7 @@ import numpy as np
 from data_compression_tpu.config import (
     ARITY_DIGITS_PER_BYTE,
     ARITY_MAX_LEN,
+    FAST_ARITIES,
 )
 from data_compression_tpu.huffman.canonical import (
     CanonicalTable,
@@ -232,7 +233,11 @@ class HuffmanCodec(Codec):
                 for i in range(B)
             ]
 
-        if self.config.use_device:
+        # Generic arities (the reference's 9/10-ary experiments,
+        # n_ary_huffman.c:1161-1208) have no bit-field wire packing, so
+        # they ride the digit-generic host path regardless of
+        # use_device; 2/3/16 get the device/native fast paths.
+        if self.config.use_device and arity in FAST_ARITIES:
             chunk_payloads = self._encode_device(blocks, lengths, tables)
         else:
             chunk_payloads = self._encode_host(blocks, lengths, tables)
@@ -247,7 +252,9 @@ class HuffmanCodec(Codec):
         from data_compression_tpu import native
         from data_compression_tpu.ops.encode_fast import pack_encode_table
 
-        use_native = native.load() is not None
+        use_native = (
+            native.load() is not None and self.config.arity in FAST_ARITIES
+        )
         packed_cache = {}
 
         def _pk(t):
@@ -383,14 +390,16 @@ class HuffmanCodec(Codec):
             else:
                 tables.append(CanonicalTable.from_bytes(tb, arity))
 
-        if self.config.use_device:
+        if self.config.use_device and arity in FAST_ARITIES:
             return self._decode_device(parsed, raw_lens, tables)
         return self._decode_host(parsed, raw_lens, tables)
 
     def _decode_host(self, parsed, raw_lens, tables) -> List[bytes]:
         from data_compression_tpu import native
 
-        use_native = native.load() is not None
+        use_native = (
+            native.load() is not None and self.config.arity in FAST_ARITIES
+        )
         L = ARITY_MAX_LEN[self.config.arity]
         dec_cache = {}
 
