@@ -98,10 +98,10 @@ def main(argv=None) -> int:
     sp.add_argument("input")
 
     sp = sub.add_parser(
-        "armor", help="encode bytes as printable text (base64url or z85)"
+        "armor", help="encode bytes as printable text (base64url, z85 or ascii85)"
     )
     sp.add_argument("-a", "--alphabet", default="base64url",
-                    choices=["base64url", "z85"])
+                    choices=["base64url", "z85", "ascii85"])
     sp.add_argument("input")
     sp.add_argument("output")
 
@@ -174,15 +174,21 @@ def main(argv=None) -> int:
         from data_compression_tpu.utils import base64url as b64
 
         data = _read(args.input)
-        text = b64.armor(data) if args.alphabet == "base64url" else b64.z85_armor(data)
-        _write(args.output, text.encode("ascii"))
+        enc = {"base64url": b64.armor, "z85": b64.z85_armor,
+               "ascii85": b64.ascii85_armor}[args.alphabet]
+        _write(args.output, enc(data).encode("ascii"))
         return 0
 
     if args.cmd == "dearmor":
         from data_compression_tpu.utils import base64url as b64
 
         text = _read(args.input).decode("ascii")
-        out = b64.z85_dearmor(text) if text.startswith("DCZ:") else b64.dearmor(text)
+        if text.startswith("DCZ:"):
+            out = b64.z85_dearmor(text)
+        elif text.startswith("DCA:"):
+            out = b64.ascii85_dearmor(text)
+        else:
+            out = b64.dearmor(text)
         _write(args.output, out)
         return 0
 

@@ -90,13 +90,30 @@ def test_z85_armor_roundtrip(rng):
         assert z85_dearmor(text) == data
 
 
+def test_ascii85_armor_roundtrip(rng):
+    from data_compression_tpu.utils.base64url import (
+        ascii85_armor,
+        ascii85_dearmor,
+    )
+
+    for size in (0, 1, 4, 7, 1000):
+        data = rng.integers(0, 256, size=size, dtype="uint8").tobytes()
+        text = ascii85_armor(data)
+        assert all(ln.isascii() and ln.isprintable() for ln in text.splitlines())
+        assert ascii85_dearmor(text) == data
+    # the 'z' shorthand for all-zero groups (btoa/Adobe convention)
+    text = ascii85_armor(b"\x00" * 8 + b"ab")
+    assert "z" in text.partition("\n")[2]
+    assert ascii85_dearmor(text) == b"\x00" * 8 + b"ab"
+
+
 def test_armor_cli(tmp_path, rng):
     from data_compression_tpu.cli import main
 
     data = rng.integers(0, 256, size=333, dtype="uint8").tobytes()
     src = tmp_path / "in.bin"
     src.write_bytes(data)
-    for alpha in ("base64url", "z85"):
+    for alpha in ("base64url", "z85", "ascii85"):
         a = tmp_path / f"a.{alpha}"
         b = tmp_path / f"b.{alpha}"
         assert main(["armor", "-a", alpha, str(src), str(a)]) == 0
