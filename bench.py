@@ -52,24 +52,49 @@ def make_corpus(nbytes: int, seed: int = 0) -> bytes:
     return rng.choice(alphabet, size=nbytes, p=probs).tobytes()
 
 
+def _force(x):
+    """Force the chain's tail to be COMPUTED, not just scheduled: fetch
+    one element to host.  On this relay platform block_until_ready has
+    been observed returning early for large buffers (64 MiB chains
+    'finishing' at 2+ TB/s), so readiness is established by data."""
+    import jax
+
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    return float(leaf[(0,) * leaf.ndim])
+
+
 def time_chain(step, x0, *extra, iters=12, trials=3):
     """Best per-iteration time of a dependent chain x -> step(x, *extra).
 
     ``extra`` (tables, metadata) MUST ride as explicit arguments: arrays
     closed over by a jitted step become jit constants, and on a
     relay-attached platform every dispatch re-uploads them (~1.5 ms per
-    128 KB measured) — which silently dominates sub-ms kernels."""
-    import jax
+    128 KB measured) — which silently dominates sub-ms kernels.
 
+    The chain length self-calibrates until one trial spans >= 0.25 s so
+    the end-of-chain forcing fetch (a relay round trip) amortizes away.
+    """
     x = step(x0, *extra)
-    jax.block_until_ready(x)  # compile + warm
-    best = float("inf")
-    for _ in range(trials):
+    _force(x)  # compile + warm
+    while True:
         x = x0
         t0 = time.perf_counter()
         for _ in range(iters):
             x = step(x, *extra)
-        jax.block_until_ready(x)
+        _force(x)
+        dt = time.perf_counter() - t0
+        if dt >= 0.25 or iters >= 4096:
+            break
+        iters = min(
+            4096, max(iters * 2, int(iters * 0.3 / max(dt, 1e-9)))
+        )
+    best = dt / iters
+    for _ in range(trials - 1):
+        x = x0
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            x = step(x, *extra)
+        _force(x)
         best = min(best, (time.perf_counter() - t0) / iters)
     return best
 

@@ -292,24 +292,28 @@ class HuffmanCodec(Codec):
         C = self.config.chunk_syms
         arity = self.config.arity
 
-        from data_compression_tpu.ops.pallas.encode_kernel import (
-            CHUNK_SYMS as PALLAS_C,
-            LANES,
-        )
+        from data_compression_tpu.ops.pallas.encode_kernel import LANES
 
+        # one block = 128 lane-chunks of S/128 symbols: any power-of-two
+        # block >= 16 KiB whose chunk_syms matches that geometry
+        lane_c = S // LANES
         pallas_ok = (
             jax.default_backend() == "tpu"
-            and C == PALLAS_C
-            and S == PALLAS_C * LANES
+            and S % LANES == 0
+            and C == lane_c
+            and C >= 128
+            and C & (C - 1) == 0
         )
         if self.config.use_pallas and not pallas_ok:
             reasons = []
             if jax.default_backend() != "tpu":
                 reasons.append("backend is not tpu")
-            if C != PALLAS_C:
-                reasons.append(f"chunk_syms {C} != {PALLAS_C}")
-            if S != PALLAS_C * LANES:
-                reasons.append(f"block_size {S} != {PALLAS_C * LANES}")
+            if S % LANES or C != lane_c:
+                reasons.append(
+                    f"chunk_syms {C} != block_size/128 ({S}/{LANES})"
+                )
+            if C < 128 or C & (C - 1):
+                reasons.append(f"chunk_syms {C} not a power of two >= 128")
             _note_pallas_fallback("encode", reasons)
         if self.config.use_pallas and pallas_ok:
             from data_compression_tpu.ops.pallas.encode_kernel import (
@@ -439,16 +443,17 @@ class HuffmanCodec(Codec):
         C = self.config.chunk_syms
         arity = self.config.arity
 
-        from data_compression_tpu.ops.pallas.decode_kernel import (
-            C as PALLAS_C,
-            LANES,
-        )
+        from data_compression_tpu.ops.pallas.decode_kernel import LANES
 
+        S = self.config.block_size
+        lane_c = S // LANES
         pallas_ok = (
             jax.default_backend() == "tpu"
             and arity == 2
-            and C == PALLAS_C
-            and self.config.block_size == PALLAS_C * LANES
+            and S % LANES == 0
+            and C == lane_c
+            and C >= 128
+            and C & (C - 1) == 0
         )
         if self.config.use_pallas and not pallas_ok:
             reasons = []
@@ -456,12 +461,12 @@ class HuffmanCodec(Codec):
                 reasons.append("backend is not tpu")
             if arity != 2:
                 reasons.append(f"arity {arity} != 2")
-            if C != PALLAS_C:
-                reasons.append(f"chunk_syms {C} != {PALLAS_C}")
-            if self.config.block_size != PALLAS_C * LANES:
+            if S % LANES or C != lane_c:
                 reasons.append(
-                    f"block_size {self.config.block_size} != {PALLAS_C * LANES}"
+                    f"chunk_syms {C} != block_size/128 ({S}/{LANES})"
                 )
+            if C < 128 or C & (C - 1):
+                reasons.append(f"chunk_syms {C} not a power of two >= 128")
             _note_pallas_fallback("decode", reasons)
         if self.config.use_pallas and pallas_ok:
             from data_compression_tpu.ops.pallas.decode_kernel import (
@@ -469,7 +474,10 @@ class HuffmanCodec(Codec):
             )
 
             return decode_blocks_pallas(
-                [chunks for (_tb, chunks) in parsed], list(raw_lens), tables
+                [chunks for (_tb, chunks) in parsed],
+                list(raw_lens),
+                tables,
+                chunk_syms=C,
             )
 
         mb = max_chunk_bytes(C, arity)

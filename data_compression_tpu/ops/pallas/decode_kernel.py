@@ -55,7 +55,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from data_compression_tpu.config import ARITY_MAX_LEN
 from data_compression_tpu.huffman.canonical import build_decode_tables
-from data_compression_tpu.ops.huffman_coding import _cap_digits, max_chunk_bytes
+from data_compression_tpu.ops.huffman_coding import _cap_digits
 from data_compression_tpu.ops.pallas.encode_kernel import (
     CHUNK_SYMS,
     LANES,
@@ -65,37 +65,46 @@ from data_compression_tpu.ops.pallas.encode_kernel import (
 
 ARITY = 2
 L = ARITY_MAX_LEN[2]  # 15
-C = CHUNK_SYMS  # 512
-CAP = _cap_digits(C, 2)  # 7680 digits
-MB = max_chunk_bytes(C, 2)  # 960 payload bytes per chunk
+C = CHUNK_SYMS  # default chunk symbols (512 = 64 KiB blocks)
 SEG = 512  # digits per segment (= 64 payload bytes)
-CAPP = 8192  # padded digit capacity (payload padded to 1024 bytes)
-MBP = CAPP // 8  # 1024 padded payload bytes
-NSEGP = CAPP // SEG  # 16
 G8 = 8  # blocks per grid cell
 WALK_BLK = 8  # digit steps per walk loop iteration
 
-_SEG_OUT_BITS = C * 8  # per-block output capacity in bits (4096)
-_SEG_WF = _SEG_OUT_BITS // 32  # 128 words per block
-
 SUB = 256  # digits per stage-1/3 sub-segment (bounds live temporaries)
 WPS = SEG // 32  # packed words per segment per block (16)
-PW = MBP // 4  # packed 32-digit words per block at capacity (256)
 
 
-def _seg_merge_sched():
+def _geom(C: int):
+    """Chunk-size-dependent geometry: a block is always 128 lane-chunks
+    of C = block_size/128 symbols.  Returns (cap, capp, mbp, seg_wf,
+    pw): digit capacity, capacity padded to whole segments, padded
+    payload bytes per chunk, per-block output words, packed 32-digit
+    words per block at capacity."""
+    cap = _cap_digits(C, ARITY)
+    capp = -(-cap // SEG) * SEG
+    mbp = capp // 8
+    seg_wf = C * 8 // 32
+    pw = mbp // 4
+    return cap, capp, mbp, seg_wf, pw
+
+
+def _seg_merge_sched(C: int):
     """Merge-tree schedule for one segment in BLOCK-MAJOR layout: the
     8 blocks' 512 digit items ride as one flattened [4096] node axis
     (rows b*SEG+d), so pairs always combine adjacent digits of the
     same block and every level keeps the encoder's array shapes.  The
-    tree stops at P = 8: the survivors are the per-block buffers."""
+    tree stops at P = 8: the survivors are the per-block buffers.  A
+    segment emits at most min(SEG, C) symbols per block, so its result
+    width is capped independent of the accumulator width."""
+    seg_out_bits = min(SEG, C) * 8
+    seg_wf_max = seg_out_bits // 32
     sched = []
     P, W = G8 * SEG, 1
     level = 0
     while P > G8:
         level += 1
-        need = min((1 << level) * 8, _SEG_OUT_BITS)
-        W2 = min(-(-need // 32), _SEG_WF)
+        need = min((1 << level) * 8, seg_out_bits)
+        W2 = min(-(-need // 32), seg_wf_max)
         sched.append((P, W, W2))
         P //= 2
         W = W2
@@ -154,22 +163,24 @@ def _windows_for_subseg(words_ref, h):
     return jax.lax.shift_right_logical(c, 32 - L).reshape(SUB, G8, LANES)
 
 
-def _make_kernel(stages: int = 4):
+def _make_kernel(stages: int = 4, C: int = CHUNK_SYMS):
     """stages: profiling ablation — 1: window/length/rank only,
     2: + boundary walk, 3: + compaction, 4: full (rank->symbol)."""
 
     def kernel(limit_ref, bmf_ref, syms_ref, meta_ref, payload_ref, out_ref,
                packed_ref, accw_ref, accb_ref, words_ref):
-        _kernel_body(stages, limit_ref, bmf_ref, syms_ref, meta_ref,
+        _kernel_body(stages, C, limit_ref, bmf_ref, syms_ref, meta_ref,
                      payload_ref, out_ref, packed_ref, accw_ref, accb_ref,
                      words_ref)
 
     return kernel
 
 
-def _kernel_body(stages, limit_ref, bmf_ref, syms_ref, meta_ref, payload_ref,
-                 out_ref, packed_ref, accw_ref, accb_ref, words_ref):
-    pay_ref = payload_ref.at[0]  # [MBP*8, 128] rows (byte, block)
+def _kernel_body(stages, C, limit_ref, bmf_ref, syms_ref, meta_ref,
+                 payload_ref, out_ref, packed_ref, accw_ref, accb_ref,
+                 words_ref):
+    _, _, _, seg_wf, _ = _geom(C)
+    pay_ref = payload_ref.at[0]  # [mbp*8, 128] rows (byte, block)
     nseg = meta_ref[0, 0, 0]  # segments this cell actually needs
 
     # stage 0: bit-reversed packed words for the walked region only
@@ -181,9 +192,10 @@ def _kernel_body(stages, limit_ref, bmf_ref, syms_ref, meta_ref, payload_ref,
         lim8[l] = jnp.broadcast_to(limit_ref[0, :, l][:, None], (G8, LANES))
     bmf_all = bmf_ref[0]  # [G8, 128]: lane l of row b = bmf[b][l]
 
-    accw_ref[:, :] = jnp.zeros((G8 * _SEG_WF, LANES), jnp.int32)
+    accw_ref[:, :] = jnp.zeros((G8 * seg_wf, LANES), jnp.int32)
     accb_ref[:, :] = jnp.zeros((G8, LANES), jnp.int32)
-    sched = _seg_merge_sched()
+    sched = _seg_merge_sched(C)
+    seg_w = sched[-1][2]  # words per per-segment merge result
 
     def seg_body(sg, dist):
         # stages 1-3: fill the segment's packed scratch
@@ -257,11 +269,16 @@ def _kernel_body(stages, limit_ref, bmf_ref, syms_ref, meta_ref, payload_ref,
                 b = jnp.pad(b, padw)
             words = a | _mshl(b, la[:, None, :])
             lw = la + lb
-        # words [G8, _SEG_WF, 128], lw [G8, 128]: fold into accumulator
-        aw = accw_ref[:, :].reshape(G8, _SEG_WF, LANES)
+        # words [G8, seg_w, 128], lw [G8, 128]: fold into accumulator
+        # (pad to the full per-block width first when C > SEG, i.e. a
+        # single segment cannot fill the whole output buffer)
+        words = words.reshape(G8, seg_w, LANES)
+        if seg_w < seg_wf:
+            words = jnp.pad(words, [(0, 0), (0, seg_wf - seg_w), (0, 0)])
+        aw = accw_ref[:, :].reshape(G8, seg_wf, LANES)
         ab = accb_ref[:, :]
-        merged = aw | _mshl(words.reshape(G8, _SEG_WF, LANES), ab[:, None, :])
-        accw_ref[:, :] = merged.reshape(G8 * _SEG_WF, LANES)
+        merged = aw | _mshl(words, ab[:, None, :])
+        accw_ref[:, :] = merged.reshape(G8 * seg_wf, LANES)
         accb_ref[:, :] = ab + lw
         return dist
 
@@ -277,7 +294,7 @@ def _kernel_body(stages, limit_ref, bmf_ref, syms_ref, meta_ref, payload_ref,
         ).reshape(G8 * C, LANES).astype(jnp.uint8)
         return
 
-    buf = accw_ref[:, :].reshape(G8, _SEG_WF, LANES)  # per-block rank bytes
+    buf = accw_ref[:, :].reshape(G8, seg_wf, LANES)  # per-block rank bytes
     rb = jnp.stack(
         [jax.lax.shift_right_logical(buf, 8 * k) & 0xFF for k in range(4)],
         axis=2,
@@ -302,34 +319,39 @@ def _kernel_body(stages, limit_ref, bmf_ref, syms_ref, meta_ref, payload_ref,
     out_ref[0] = jnp.concatenate(outs, axis=0).astype(jnp.uint8)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "stages"))
-def _decode_pallas(payload_t, limit, bmf, syms, meta, *, interpret=False, stages=4):
-    """payload_t: [NC, MBP*8, 128] uint8, rows (byte, block-in-group);
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "stages", "chunk_syms")
+)
+def _decode_pallas(payload_t, limit, bmf, syms, meta, *, interpret=False,
+                   stages=4, chunk_syms=CHUNK_SYMS):
+    """payload_t: [NC, mbp*8, 128] uint8, rows (byte, block-in-group);
     limit: [NC, 8, L+1] int32; bmf: [NC, 8, 128] int32 (lane l of row b
     holds base_minus_first[b][l]); syms: [NC, 16, 128] int32 (rows
     2b/2b+1 hold block b's symbols 0-127 / 128-255); meta: [NC, 1, 2]
     int32 (slot 0: the cell's segment count = ceil(max digits / SEG)).
     Returns [NC, 8*C, 128] uint8 rows (block-in-group, symbol)."""
     NC = payload_t.shape[0]
+    Cc = chunk_syms
+    _, _, mbp, seg_wf, pw = _geom(Cc)
     return pl.pallas_call(
-        _make_kernel(stages),
+        _make_kernel(stages, Cc),
         grid=(NC,),
         in_specs=[
             pl.BlockSpec((1, G8, L + 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, G8, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2 * G8, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 2), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, MBP * G8, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mbp * G8, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, G8 * C, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (1, G8 * Cc, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((NC, G8 * C, LANES), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((NC, G8 * Cc, LANES), jnp.uint8),
         scratch_shapes=[
             pltpu.VMEM((SEG * G8, LANES), jnp.int32),  # packed/items
-            pltpu.VMEM((G8 * _SEG_WF, LANES), jnp.int32),  # accumulator words
+            pltpu.VMEM((G8 * seg_wf, LANES), jnp.int32),  # accumulator words
             pltpu.VMEM((G8, LANES), jnp.int32),  # accumulator bit counts
-            pltpu.VMEM(((PW + 1) * G8, LANES), jnp.int32),  # reversed words
+            pltpu.VMEM(((pw + 1) * G8, LANES), jnp.int32),  # reversed words
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -338,11 +360,12 @@ def _decode_pallas(payload_t, limit, bmf, syms, meta, *, interpret=False, stages
     )(limit, bmf, syms, meta, payload_t)
 
 
-def prep_decode_inputs(payloads_by_block, tables):
+def prep_decode_inputs(payloads_by_block, tables, chunk_syms=CHUNK_SYMS):
     """Host packing: ragged chunk payloads + per-block tables -> the
     kernel's cell-grouped device arrays (payload_t, limit, bmf, syms,
     meta).  Blocks pad to a multiple of 8 with empty cells; meta[c,0,0]
     is cell c's segment count from its longest chunk payload."""
+    _, _, mbp, _, _ = _geom(chunk_syms)
     B = len(payloads_by_block)
     NC = -(-B // G8)  # grid cells; tail cell padded with empty blocks
     BP = NC * G8
@@ -355,13 +378,13 @@ def prep_decode_inputs(payloads_by_block, tables):
     flat = np.frombuffer(
         b"".join(ch for chunks in payloads_by_block for ch in chunks), np.uint8
     )
-    pay = np.zeros((BP * LANES, MBP), np.uint8)
-    pay[np.arange(MBP)[None, :] < nb[:, None]] = flat
-    # [BP, LANES, MBP] -> cells x (byte, block-in-group) x lanes
+    pay = np.zeros((BP * LANES, mbp), np.uint8)
+    pay[np.arange(mbp)[None, :] < nb[:, None]] = flat
+    # [BP, LANES, mbp] -> cells x (byte, block-in-group) x lanes
     payload_t = jnp.asarray(
         np.ascontiguousarray(
-            pay.reshape(NC, G8, LANES, MBP).transpose(0, 3, 1, 2)
-        ).reshape(NC, MBP * G8, LANES)
+            pay.reshape(NC, G8, LANES, mbp).transpose(0, 3, 1, 2)
+        ).reshape(NC, mbp * G8, LANES)
     )
 
     # per-cell segment count: ceil(max digits / SEG), >= 1 so the
@@ -397,13 +420,15 @@ def decode_blocks_pallas(
     raw_lens,
     tables,
     interpret: bool = False,
+    chunk_syms: int = CHUNK_SYMS,
 ):
-    """-> list of per-block decoded bytes (n=2, 64 KiB blocks)."""
+    """-> list of per-block decoded bytes (n=2; any power-of-two block
+    of >= 128-symbol lane chunks, chunk_syms = block_size / 128)."""
     B = len(payloads_by_block)
-    args = prep_decode_inputs(payloads_by_block, tables)
-    out = _decode_pallas(*args, interpret=interpret)
+    args = prep_decode_inputs(payloads_by_block, tables, chunk_syms)
+    out = _decode_pallas(*args, interpret=interpret, chunk_syms=chunk_syms)
     # [NC, 8*C, 128] rows (block, symbol) -> per-block chunk-major bytes
-    out = np.asarray(out).reshape(-1, C, LANES).transpose(0, 2, 1)
+    out = np.asarray(out).reshape(-1, chunk_syms, LANES).transpose(0, 2, 1)
     return [
         out[b].reshape(-1)[: int(raw_lens[b])].tobytes() for b in range(B)
     ]

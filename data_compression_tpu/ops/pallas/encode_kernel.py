@@ -49,8 +49,8 @@ LANES = 128
 MAXLEN_BUCKETS = (8, 10, 12, 15)  # compile-time merge-capacity tiers
 
 
-def _levels(arity: int, maxlen: int | None = None):
-    """Static (W, W2) schedule of the merge tree.
+def _levels(arity: int, maxlen: int | None = None, C: int = CHUNK_SYMS):
+    """Static (W, W2) schedule of the merge tree for C-symbol chunks.
 
     ``maxlen`` specializes level capacities to the batch's actual max
     code length (host picks the smallest bucket that fits) — the wire
@@ -59,10 +59,10 @@ def _levels(arity: int, maxlen: int | None = None):
     if maxlen is None:
         maxlen = ARITY_MAX_LEN[arity]
     maxf = maxlen * BITS_PER_DIGIT[arity]
-    cap_bits = _cap_digits(CHUNK_SYMS, arity) * BITS_PER_DIGIT[arity]
+    cap_bits = _cap_digits(C, arity) * BITS_PER_DIGIT[arity]
     Wf = -(-cap_bits // 32)
     sched = []
-    P, W = CHUNK_SYMS, 1
+    P, W = C, 1
     level = 0
     while P > 1:
         level += 1
@@ -131,13 +131,14 @@ def _gather256(lo_row, hi_row, s):
     return jnp.where(s < 128, lo, hi)
 
 
-def _make_kernel(arity: int, maxlen: int | None = None, stages: int = 3):
+def _make_kernel(arity: int, maxlen: int | None = None, stages: int = 3,
+                 C: int = CHUNK_SYMS):
     """stages: profiling ablation — 1: table lookup only, 2: + merge
     tree, 3: full (+ wire-byte conversion).  Stages < 3 write truncated
     garbage to the byte output (consumed so Mosaic cannot DCE the
-    measured work); only stage 3 is wire-correct."""
-    sched, Wf = _levels(arity, maxlen)
-    C = CHUNK_SYMS
+    measured work); only stage 3 is wire-correct.  ``C``: symbols per
+    chunk (= block_size / 128 lanes); any power of two works."""
+    sched, Wf = _levels(arity, maxlen, C)
     bpd = BITS_PER_DIGIT[arity]
     D = ARITY_DIGITS_PER_BYTE[arity]
     cap_digits = _cap_digits(C, arity)
@@ -248,7 +249,8 @@ def _make_kernel(arity: int, maxlen: int | None = None, stages: int = 3):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("arity", "interpret", "maxlen", "stages")
+    jax.jit,
+    static_argnames=("arity", "interpret", "maxlen", "stages", "chunk_syms"),
 )
 def _encode_pallas(
     syms_t: jnp.ndarray,  # [B, C, 128] uint8/int32 (symbol-major)
@@ -259,10 +261,11 @@ def _encode_pallas(
     interpret: bool = False,
     maxlen: int | None = None,
     stages: int = 3,
+    chunk_syms: int = CHUNK_SYMS,
 ):
     B = syms_t.shape[0]
-    kernel, Wf, MB = _make_kernel(arity, maxlen, stages)
-    C = CHUNK_SYMS
+    kernel, Wf, MB = _make_kernel(arity, maxlen, stages, chunk_syms)
+    C = chunk_syms
     R = dense.shape[1]
     meta = meta[:, None, :]
     byts, nbytes = pl.pallas_call(
@@ -342,10 +345,16 @@ def encode_blocks_pallas(
     predicates HBM writes on the block's max per-chunk wire length, so
     trailing tiles are never written).  Consumers — including any
     differential/parity harness — must slice row i to ``nbytes[i]``
-    before comparing or serializing."""
+    before comparing or serializing.
+
+    Any power-of-two block size >= 16 KiB works: a block is always 128
+    lane-chunks of S/128 symbols each."""
     B, S = blocks.shape
-    C = CHUNK_SYMS
-    assert S == C * LANES, "pallas encoder requires 64 KiB blocks"
+    C = S // LANES
+    assert S == C * LANES and C & (C - 1) == 0 and C >= 128, (
+        "pallas encoder requires a power-of-two block of >= 128-symbol "
+        f"lane chunks, got block_size {S}"
+    )
     bpd = BITS_PER_DIGIT[arity]
     D = ARITY_DIGITS_PER_BYTE[arity]
     cap_digits = _cap_digits(C, arity)
@@ -369,6 +378,7 @@ def encode_blocks_pallas(
         arity=arity,
         interpret=interpret,
         maxlen=maxlen,
+        chunk_syms=C,
     )
     # [B, MB, 128] u8 -> [B*128, MB] (chunk-major wire payloads)
     out = jnp.transpose(byts, (0, 2, 1)).reshape(B * LANES, -1)

@@ -25,7 +25,9 @@ def test_decode_fallback_warns_for_arity3(caplog, rng):
     assert any("arity 3" in m and "decode" in m for m in msgs), msgs
 
 
-def test_encode_fallback_warns_for_block_size(caplog, rng):
+def test_encode_fallback_warns_for_bad_geometry(caplog, rng):
+    """block_size 8192 with chunk_syms 512 violates the one-block =
+    128 lane-chunks geometry (8192/128 = 64 != 512); must warn."""
     hmod._fallback_warned.clear()
     data = ascii_text(rng, 8192)
     cfg = CodecConfig(codec="huffman", arity=2, block_size=8192,
@@ -33,7 +35,7 @@ def test_encode_fallback_warns_for_block_size(caplog, rng):
     with caplog.at_level(logging.WARNING, logger="data_compression_tpu"):
         compress(data, cfg)
     msgs = [r.message for r in caplog.records]
-    assert any("block_size 8192" in m and "encode" in m for m in msgs), msgs
+    assert any("chunk_syms 512" in m and "encode" in m for m in msgs), msgs
 
 
 def test_backend_only_mismatch_is_quiet(caplog, rng):

@@ -1,24 +1,24 @@
 """Pallas decode kernel (interpret mode) must invert the encoders."""
 
 import numpy as np
+import pytest
 
 from data_compression_tpu.huffman.canonical import lengths_to_codes
 from data_compression_tpu.models.huffman import capped_lengths, encode_chunk_np
 from tests.conftest import ascii_text
 
 
-def test_pallas_decode_matches_oracle(rng):
+def _roundtrip(rng, C, raw_lens):
     from data_compression_tpu.ops.pallas.decode_kernel import (
-        C,
         LANES,
         decode_blocks_pallas,
     )
 
-    B = 2
+    B = len(raw_lens)
     S = C * LANES
     data = np.frombuffer(ascii_text(rng, B * S), np.uint8).reshape(B, S).copy()
-    raw_lens = [S, S - 23456]
-    data[1, raw_lens[1] :] = 0
+    for b, rl in enumerate(raw_lens):
+        data[b, rl:] = 0
 
     tables = []
     chunks_by_block = []
@@ -33,6 +33,29 @@ def test_pallas_decode_matches_oracle(rng):
             chunks.append(encode_chunk_np(data[b, c * C : c * C + cnt], t))
         chunks_by_block.append(chunks)
 
-    out = decode_blocks_pallas(chunks_by_block, raw_lens, tables, interpret=True)
+    out = decode_blocks_pallas(
+        chunks_by_block, raw_lens, tables, interpret=True, chunk_syms=C
+    )
     for b in range(B):
         assert out[b] == data[b, : raw_lens[b]].tobytes(), f"block {b}"
+
+
+def test_pallas_decode_matches_oracle(rng):
+    from data_compression_tpu.ops.pallas.decode_kernel import C, LANES
+
+    S = C * LANES
+    _roundtrip(rng, C, [S, S - 23456])
+
+
+def test_pallas_decode_small_blocks(rng):
+    """16 KiB blocks (C=128): geometry below one SEG of output."""
+    from data_compression_tpu.ops.pallas.decode_kernel import LANES
+
+    _roundtrip(rng, 128, [128 * LANES, 128 * LANES - 777])
+
+
+def test_pallas_decode_large_blocks(rng):
+    """128 KiB blocks (C=1024): per-segment merge result is narrower
+    than the block accumulator (exercises the pad-before-fold path).
+    Short raw_len keeps interpret-mode segment count small."""
+    _roundtrip(rng, 1024, [5 * 1024 + 321])
