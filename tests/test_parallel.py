@@ -67,3 +67,35 @@ def test_sharded_ragged_tail(rng):
     cfg = CodecConfig(codec="huffman", arity=2, block_size=4096, chunk_syms=512)
     out = compress_sharded(data, cfg, mesh)
     assert decompress_sharded(out, CodecConfig(chunk_syms=512), mesh) == data
+
+
+def test_shardmap_pallas_paths_match_xla(data):
+    """The shard_map variant (fused Pallas kernels per shard, interpret
+    mode on the CPU mesh) must produce the byte-identical frame and
+    round-trip.  Geometry: 16 KiB blocks = 128 lane-chunks of 128."""
+    mesh = make_mesh(shape=(8, 1))
+    cfg = CodecConfig(codec="huffman", arity=2, block_size=16384,
+                      chunk_syms=128)
+    via_xla = compress_sharded(data, cfg, mesh, use_pallas=False)
+    via_pallas = compress_sharded(data, cfg, mesh, use_pallas=True)
+    assert via_pallas == via_xla
+    back = decompress_sharded(via_pallas, CodecConfig(chunk_syms=128), mesh,
+                              use_pallas=True)
+    assert back == data
+
+
+def test_shardmap_pallas_bad_geometry_falls_back(data, caplog):
+    """A geometry the fused kernels can't take must warn and still
+    produce a correct stream via the XLA path."""
+    import logging
+
+    from data_compression_tpu.models import huffman as hmod
+
+    hmod._fallback_warned.clear()
+    mesh = make_mesh(shape=(8, 1))
+    cfg = CodecConfig(codec="huffman", arity=2, block_size=8192,
+                      chunk_syms=1024)
+    with caplog.at_level(logging.WARNING, logger="data_compression_tpu"):
+        out = compress_sharded(data, cfg, mesh, use_pallas=True)
+    assert any("sharded encode" in r.message for r in caplog.records)
+    assert decompress_sharded(out, CodecConfig(chunk_syms=1024), mesh) == data
