@@ -394,11 +394,24 @@ class SmallNybbleCodec(Codec):
     name = "small_nybble"
 
     def encode_blocks(self, blocks: np.ndarray, lengths: np.ndarray) -> EncodeResult:
+        from data_compression_tpu import native
+
+        use_native = native.load() is not None
         payloads = []
         for i in range(blocks.shape[0]):
-            raw = blocks[i, : int(lengths[i])]
-            payloads.append(small_nybble_encode_host(raw.tobytes()))
+            raw = blocks[i, : int(lengths[i])].tobytes()
+            if use_native:
+                payloads.append(native.small_nybble_encode(raw))
+            else:
+                payloads.append(small_nybble_encode_host(raw))
         return EncodeResult(payloads=payloads)
 
     def decode_blocks(self, payloads, raw_lens, shared_table=None):
+        from data_compression_tpu import native
+
+        if native.load() is not None:
+            return [
+                native.small_nybble_decode(p, r)
+                for p, r in zip(payloads, raw_lens)
+            ]
         return [small_nybble_decode_host(p, r) for p, r in zip(payloads, raw_lens)]

@@ -71,6 +71,10 @@ def load() -> Optional[ctypes.CDLL]:
         lib.dct_small_byte_encode.argtypes = [u8p, i64, u8p, i64]
         lib.dct_small_byte_decode.restype = i64
         lib.dct_small_byte_decode.argtypes = [u8p, i64, u8p, i64]
+        lib.dct_small_nybble_encode.restype = i64
+        lib.dct_small_nybble_encode.argtypes = [u8p, i64, u8p, i64]
+        lib.dct_small_nybble_decode.restype = i64
+        lib.dct_small_nybble_decode.argtypes = [u8p, i64, u8p, i64]
         lib.dct_huffman_encode_chunk.restype = i64
         lib.dct_huffman_encode_chunk.argtypes = [
             u8p,
@@ -144,6 +148,29 @@ def small_byte_decode(payload: bytes, raw_len: int) -> Optional[bytes]:
     n = lib.dct_small_byte_decode(_buf(payload), len(payload), out, raw_len)
     if n < 0:
         raise ValueError(f"native small_byte decode error {n}")
+    return bytes(out[:n])
+
+
+def small_nybble_encode(src: bytes) -> Optional[bytes]:
+    lib = load()
+    if lib is None:
+        return None
+    cap = 2 * len(src) + 16
+    out = (ctypes.c_uint8 * cap)()
+    n = lib.dct_small_nybble_encode(_buf(src), len(src), out, cap)
+    if n < 0:
+        raise ValueError(f"native small_nybble encode error {n}")
+    return bytes(out[:n])
+
+
+def small_nybble_decode(payload: bytes, raw_len: int) -> Optional[bytes]:
+    lib = load()
+    if lib is None:
+        return None
+    out = (ctypes.c_uint8 * max(raw_len, 1))()
+    n = lib.dct_small_nybble_decode(_buf(payload), len(payload), out, raw_len)
+    if n < 0:
+        raise ValueError(f"native small_nybble decode error {n}")
     return bytes(out[:n])
 
 

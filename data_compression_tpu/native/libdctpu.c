@@ -20,6 +20,7 @@
  */
 
 #include <stdint.h>
+#include <stdlib.h>
 #include <string.h>
 
 #define DCT_ERR_INPUT (-1)
@@ -315,6 +316,192 @@ int64_t dct_small_byte_decode(const uint8_t *payload, int64_t plen_in,
         plen = wl;
     }
     return out;
+}
+
+/* ------------------------------------------------------------------ */
+/* Context nybble-LZW (small_compression.c scheme B; models/small.py   */
+/* small_nybble_* — bit-exact with the host Python implementation).    */
+/* Words are frozen spans over the decoded NYBBLE stream; literal      */
+/* indexes 0x10-0x1F are single nybbles (small_compression.c:803-805); */
+/* slot allocation wraps 0x100 -> 0x80 (wraptype only_hi_bit_set,      */
+/* :1343-1348).                                                        */
+/* ------------------------------------------------------------------ */
+
+#define SN_SLOTS 256
+#define SN_MAXLEN (2 * 256 - 1) /* encoder match cap, in nybbles */
+
+typedef struct {
+    int64_t start[SB_CTX][SN_SLOTS];
+    int64_t length[SB_CTX][SN_SLOTS];
+    int64_t gen[SB_CTX][SN_SLOTS];
+    int32_t prefix[SB_CTX][SN_SLOTS];
+    int64_t prefix_gen[SB_CTX][SN_SLOTS];
+    uint8_t letter[SB_CTX][SN_SLOTS];
+    int32_t nwi[SB_CTX];
+} sn_table;
+
+static inline int sn_is_lit(int x) { return (x | 0xF) == 0x1F; }
+
+static void sn_init(sn_table *t) {
+    for (int c = 0; c < SB_CTX; c++) {
+        for (int i = 0; i < SN_SLOTS; i++) {
+            t->start[c][i] = -1;
+            t->length[c][i] = 0;
+            t->gen[c][i] = 0;
+            t->prefix[c][i] = (i & 0xF) | 0x10;
+            t->prefix_gen[c][i] = 0;
+            t->letter[c][i] = (uint8_t)((i >> 4) & 0xF);
+        }
+        t->nwi[c] = 0x80;
+    }
+}
+
+static void sn_add(sn_table *t, int pctx, int pidx, int64_t ppos,
+                   int64_t plen, uint8_t first_nybble) {
+    int s = t->nwi[pctx];
+    t->start[pctx][s] = ppos;
+    t->length[pctx][s] = plen + 1;
+    t->gen[pctx][s] += 1;
+    t->prefix[pctx][s] = pidx;
+    if (pidx >= 0 && !sn_is_lit(pidx) && t->start[pctx][pidx] >= 0)
+        t->prefix_gen[pctx][s] = t->gen[pctx][pidx];
+    else
+        t->prefix_gen[pctx][s] = 0;
+    t->letter[pctx][s] = first_nybble;
+    int nxt = s + 1;
+    if (nxt >= 0x100) nxt = 0x80;
+    t->nwi[pctx] = nxt;
+}
+
+/* Append index's word to the nybble stream at *nn; returns word length
+ * in nybbles. */
+static int64_t sn_emit(const sn_table *t, int ctx, int idx, uint8_t *nybs,
+                       int64_t *nn, int64_t cap) {
+    if (sn_is_lit(idx)) {
+        if (*nn >= cap) return DCT_ERR_CAPACITY;
+        nybs[(*nn)++] = (uint8_t)(idx & 0xF);
+        return 1;
+    }
+    int64_t st = t->start[ctx][idx];
+    int64_t ln = t->length[ctx][idx];
+    if (st < 0) { /* default: the byte's own two nybbles, low first */
+        if (*nn + 2 > cap) return DCT_ERR_CAPACITY;
+        nybs[(*nn)++] = (uint8_t)(idx & 0xF);
+        nybs[(*nn)++] = (uint8_t)((idx >> 4) & 0xF);
+        return 2;
+    }
+    if (*nn + ln > cap) return DCT_ERR_CAPACITY;
+    for (int64_t k = 0; k < ln; k++) { /* nybble-serial: overlap OK */
+        nybs[*nn] = nybs[st + k];
+        (*nn)++;
+    }
+    return ln;
+}
+
+static int sn_find_child(const sn_table *t, int ctx, int idx, uint8_t nyb,
+                         int banned) {
+    int chk = !sn_is_lit(idx);
+    int64_t want = 0;
+    if (chk && idx >= 0 && t->start[ctx][idx] >= 0) want = t->gen[ctx][idx];
+    for (int s = 0; s < SN_SLOTS; s++) {
+        if (s == banned || sn_is_lit(s)) continue;
+        if (t->prefix[ctx][s] != idx || t->letter[ctx][s] != nyb) continue;
+        if (chk && t->prefix_gen[ctx][s] != want) continue;
+        return s;
+    }
+    return -1;
+}
+
+int64_t dct_small_nybble_encode(const uint8_t *src, int64_t n, uint8_t *dst,
+                                int64_t cap) {
+    if (cap < 2) return DCT_ERR_CAPACITY;
+    int64_t o = 0;
+    dst[o++] = SB_TYPE;
+    if (n == 0) return o;
+    dst[o++] = src[0];
+    uint8_t *nybs = (uint8_t *)malloc((size_t)(2 * n));
+    if (!nybs) return DCT_ERR_INPUT;
+    for (int64_t i = 0; i < n; i++) {
+        nybs[2 * i] = src[i] & 0xF;
+        nybs[2 * i + 1] = (uint8_t)((src[i] >> 4) & 0xF);
+    }
+    static sn_table t; /* large; not thread-safe by design of this lib */
+    sn_init(&t);
+    int pctx = sb_ctx(' ');
+    int pidx = -1; /* the verbatim first byte is not an index */
+    int64_t ppos = 0, plen = 2;
+    int64_t N = 2 * n, pos = 2;
+    int64_t ret = 0;
+    while (pos < N) {
+        int ctx = sb_ctx(src[pos / 2 - 1]);
+        int banned = (ctx == pctx) ? t.nwi[pctx] : -1;
+        int idx = nybs[pos] | 0x10;
+        int64_t len = 1;
+        while (pos + len < N && len < SN_MAXLEN) {
+            int w = sn_find_child(&t, ctx, idx, nybs[pos + len], banned);
+            if (w < 0) break;
+            idx = w;
+            len++;
+        }
+        if (o >= cap) {
+            ret = DCT_ERR_CAPACITY;
+            break;
+        }
+        dst[o++] = (uint8_t)idx;
+        sn_add(&t, pctx, pidx, ppos, plen, nybs[pos]);
+        pctx = ctx;
+        pidx = idx;
+        ppos = pos;
+        plen = len;
+        pos += len;
+    }
+    free(nybs);
+    return ret < 0 ? ret : o;
+}
+
+int64_t dct_small_nybble_decode(const uint8_t *payload, int64_t plen_in,
+                                uint8_t *dst, int64_t raw_len) {
+    if (raw_len == 0) return 0;
+    if (plen_in < 2 || payload[0] != SB_TYPE) return DCT_ERR_FORMAT;
+    int64_t target = 2 * raw_len;
+    uint8_t *nybs = (uint8_t *)malloc((size_t)target);
+    if (!nybs) return DCT_ERR_INPUT;
+    static sn_table t;
+    sn_init(&t);
+    nybs[0] = payload[1] & 0xF;
+    nybs[1] = (uint8_t)((payload[1] >> 4) & 0xF);
+    int64_t nn = 2;
+    int pctx = sb_ctx(' ');
+    int pidx = -1;
+    int64_t ppos = 0, plen = 2;
+    int64_t i = 2;
+    int64_t ret = 0;
+    while (nn < target) {
+        if (i >= plen_in) {
+            ret = DCT_ERR_FORMAT;
+            break;
+        }
+        int idx = payload[i++];
+        int64_t done = nn / 2; /* complete output bytes so far */
+        int ctx =
+            sb_ctx((uint8_t)(nybs[2 * done - 2] | (nybs[2 * done - 1] << 4)));
+        int64_t pos = nn;
+        int64_t wl = sn_emit(&t, ctx, idx, nybs, &nn, target);
+        if (wl < 0) {
+            ret = DCT_ERR_FORMAT; /* decoded past expected length */
+            break;
+        }
+        sn_add(&t, pctx, pidx, ppos, plen, nybs[pos]);
+        pctx = ctx;
+        pidx = idx;
+        ppos = pos;
+        plen = wl;
+    }
+    if (ret == 0)
+        for (int64_t k = 0; k < raw_len; k++)
+            dst[k] = (uint8_t)(nybs[2 * k] | (nybs[2 * k + 1] << 4));
+    free(nybs);
+    return ret < 0 ? ret : raw_len;
 }
 
 /* ------------------------------------------------------------------ */

@@ -108,3 +108,27 @@ def test_native_huffman_chunk_roundtrip(lib, rng):
         )
         assert m == len(data)
         assert bytes(dec[:]) == data.tobytes(), f"arity {arity} decode"
+
+
+def test_small_nybble_matches_python(lib, rng):
+    from data_compression_tpu.models.small import (
+        small_nybble_decode_host,
+        small_nybble_encode_host,
+    )
+
+    for size in [0, 1, 300, 3000]:
+        data = ascii_text(rng, size) if size else b""
+        cn = lib.small_nybble_encode(data)
+        cp = small_nybble_encode_host(data)
+        assert cn == cp, f"size {size}"
+        if size:
+            assert lib.small_nybble_decode(cn, size) == data
+            assert small_nybble_decode_host(cn, size) == data
+
+
+def test_small_nybble_native_full_byte_range(lib, rng):
+    """Unlike small_byte, the nybble scheme takes ALL byte values; the
+    8000-byte run exercises slot wrap-around (0x100 -> 0x80)."""
+    data = bytes(rng.integers(0, 256, size=8000, dtype=np.uint8))
+    cn = lib.small_nybble_encode(data)
+    assert lib.small_nybble_decode(cn, len(data)) == data
