@@ -26,26 +26,6 @@ our own design because the reference's emission is stubbed
 (n_ary_huffman.c:1661,1786).
 """
 
-import os as _os
-
-# Persistent JIT cache: the fused Pallas codecs cost minutes to compile
-# on a real chip; caching them makes every process after the first start
-# in milliseconds.  Honors an explicit user setting; opt out by
-# exporting JAX_COMPILATION_CACHE_DIR="".
-if "JAX_COMPILATION_CACHE_DIR" not in _os.environ:
-    _cache_dir = _os.path.join(
-        _os.path.expanduser("~"), ".cache", "data_compression_tpu", "jit"
-    )
-    _os.environ["JAX_COMPILATION_CACHE_DIR"] = _cache_dir
-    _os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
-    try:  # jax may already be imported (env var then has no effect)
-        import jax as _jax
-
-        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:  # pragma: no cover - cache is best-effort
-        pass
-
 from data_compression_tpu.api import (
     compress,
     decompress,

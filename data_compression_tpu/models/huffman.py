@@ -164,16 +164,28 @@ def _pack_payload(
 
 
 def _unpack_payload(payload: bytes) -> Tuple[Optional[bytes], List[bytes]]:
+    # All parse failures must surface as ValueError (the fuzz contract:
+    # corruption is detected cleanly) — a bit-flipped chunk count could
+    # otherwise make struct.unpack_from read past the buffer and raise
+    # struct.error (ADVICE r3).
+    if not payload:
+        raise ValueError("empty huffman payload")
     mode = payload[0]
     off = 1
     table_bytes = None
     if mode == 0:
         table_bytes = payload[1:257]
+        if len(table_bytes) != 256:
+            raise ValueError("truncated huffman payload (table)")
         off = 257
     elif mode != 1:
         raise ValueError(f"bad huffman table mode {mode}")
+    if off + 2 > len(payload):
+        raise ValueError("truncated huffman payload (chunk count)")
     (nc,) = struct.unpack_from("<H", payload, off)
     off += 2
+    if off + 2 * nc > len(payload):
+        raise ValueError("truncated huffman payload (chunk lengths)")
     lens = struct.unpack_from(f"<{nc}H", payload, off)
     off += 2 * nc
     chunks = []

@@ -260,34 +260,46 @@ int64_t dct_small_byte_encode(const uint8_t *src, int64_t n, uint8_t *dst,
     dst[o++] = SB_TYPE;
     if (n == 0) return o;
     dst[o++] = src[0];
-    static sb_dict d; /* large; not thread-safe by design of this CLI lib */
-    sb_init(&d);
+    /* heap per call: ctypes releases the GIL, so a static table would
+     * race across Python threads (encode corruption surfaces only at
+     * the decompress-side CRC) */
+    sb_dict *d = (sb_dict *)malloc(sizeof *d);
+    if (!d) return DCT_ERR_INPUT;
+    sb_init(d);
     int pctx = sb_ctx(' ');
     int pidx = src[0];
     int64_t ppos = 0, plen = 1;
     int64_t pos = 1;
+    int64_t ret = 0;
     while (pos < n) {
-        if (src[pos] & 0x80 || src[pos - 1] & 0x80) return DCT_ERR_INPUT;
+        if (src[pos] & 0x80 || src[pos - 1] & 0x80) {
+            ret = DCT_ERR_INPUT;
+            break;
+        }
         int ctx = sb_ctx(src[pos - 1]);
-        int banned = (ctx == pctx) ? d.nwi[pctx] : -1;
+        int banned = (ctx == pctx) ? d->nwi[pctx] : -1;
         int idx = src[pos];
         int64_t len = 1;
         while (pos + len < n && len < SB_MAXWORD - 1) {
-            int w = sb_find_child(&d, ctx, idx, src[pos + len], banned);
+            int w = sb_find_child(d, ctx, idx, src[pos + len], banned);
             if (w < 0) break;
             idx = 0x80 + w;
             len++;
         }
-        if (o >= cap) return DCT_ERR_CAPACITY;
+        if (o >= cap) {
+            ret = DCT_ERR_CAPACITY;
+            break;
+        }
         dst[o++] = (uint8_t)idx;
-        sb_add(&d, pctx, pidx, ppos, plen, src[pos]);
+        sb_add(d, pctx, pidx, ppos, plen, src[pos]);
         pctx = ctx;
         pidx = idx;
         ppos = pos;
         plen = len;
         pos += len;
     }
-    return o;
+    free(d);
+    return ret < 0 ? ret : o;
 }
 
 int64_t dct_small_byte_decode(const uint8_t *payload, int64_t plen_in,
@@ -295,27 +307,36 @@ int64_t dct_small_byte_decode(const uint8_t *payload, int64_t plen_in,
     if (raw_len == 0) return 0;
     if (plen_in < 2 || payload[0] != SB_TYPE) return DCT_ERR_FORMAT;
     dst[0] = payload[1];
-    static sb_dict d;
-    sb_init(&d);
+    sb_dict *d = (sb_dict *)malloc(sizeof *d); /* heap: see encode */
+    if (!d) return DCT_ERR_INPUT;
+    sb_init(d);
     int pctx = sb_ctx(' ');
     int pidx = payload[1];
     int64_t ppos = 0, plen = 1;
     int64_t out = 1;
     int64_t i = 2;
+    int64_t ret = 0;
     while (out < raw_len) {
-        if (i >= plen_in) return DCT_ERR_FORMAT;
+        if (i >= plen_in) {
+            ret = DCT_ERR_FORMAT;
+            break;
+        }
         int idx = payload[i++];
         int ctx = sb_ctx(dst[out - 1]);
         int64_t pos = out;
-        int64_t wl = sb_emit(&d, ctx, idx, dst, &out, raw_len);
-        if (wl < 0) return DCT_ERR_FORMAT;
-        sb_add(&d, pctx, pidx, ppos, plen, dst[pos]);
+        int64_t wl = sb_emit(d, ctx, idx, dst, &out, raw_len);
+        if (wl < 0) {
+            ret = DCT_ERR_FORMAT;
+            break;
+        }
+        sb_add(d, pctx, pidx, ppos, plen, dst[pos]);
         pctx = ctx;
         pidx = idx;
         ppos = pos;
         plen = wl;
     }
-    return out;
+    free(d);
+    return ret < 0 ? ret : out;
 }
 
 /* ------------------------------------------------------------------ */
@@ -425,8 +446,14 @@ int64_t dct_small_nybble_encode(const uint8_t *src, int64_t n, uint8_t *dst,
         nybs[2 * i] = src[i] & 0xF;
         nybs[2 * i + 1] = (uint8_t)((src[i] >> 4) & 0xF);
     }
-    static sn_table t; /* large; not thread-safe by design of this lib */
-    sn_init(&t);
+    /* heap per call: ctypes releases the GIL, so a static table would
+     * race across Python threads */
+    sn_table *t = (sn_table *)malloc(sizeof *t);
+    if (!t) {
+        free(nybs);
+        return DCT_ERR_INPUT;
+    }
+    sn_init(t);
     int pctx = sb_ctx(' ');
     int pidx = -1; /* the verbatim first byte is not an index */
     int64_t ppos = 0, plen = 2;
@@ -434,11 +461,11 @@ int64_t dct_small_nybble_encode(const uint8_t *src, int64_t n, uint8_t *dst,
     int64_t ret = 0;
     while (pos < N) {
         int ctx = sb_ctx(src[pos / 2 - 1]);
-        int banned = (ctx == pctx) ? t.nwi[pctx] : -1;
+        int banned = (ctx == pctx) ? t->nwi[pctx] : -1;
         int idx = nybs[pos] | 0x10;
         int64_t len = 1;
         while (pos + len < N && len < SN_MAXLEN) {
-            int w = sn_find_child(&t, ctx, idx, nybs[pos + len], banned);
+            int w = sn_find_child(t, ctx, idx, nybs[pos + len], banned);
             if (w < 0) break;
             idx = w;
             len++;
@@ -448,13 +475,14 @@ int64_t dct_small_nybble_encode(const uint8_t *src, int64_t n, uint8_t *dst,
             break;
         }
         dst[o++] = (uint8_t)idx;
-        sn_add(&t, pctx, pidx, ppos, plen, nybs[pos]);
+        sn_add(t, pctx, pidx, ppos, plen, nybs[pos]);
         pctx = ctx;
         pidx = idx;
         ppos = pos;
         plen = len;
         pos += len;
     }
+    free(t);
     free(nybs);
     return ret < 0 ? ret : o;
 }
@@ -466,8 +494,12 @@ int64_t dct_small_nybble_decode(const uint8_t *payload, int64_t plen_in,
     int64_t target = 2 * raw_len;
     uint8_t *nybs = (uint8_t *)malloc((size_t)target);
     if (!nybs) return DCT_ERR_INPUT;
-    static sn_table t;
-    sn_init(&t);
+    sn_table *t = (sn_table *)malloc(sizeof *t); /* heap: see encode */
+    if (!t) {
+        free(nybs);
+        return DCT_ERR_INPUT;
+    }
+    sn_init(t);
     nybs[0] = payload[1] & 0xF;
     nybs[1] = (uint8_t)((payload[1] >> 4) & 0xF);
     int64_t nn = 2;
@@ -486,12 +518,12 @@ int64_t dct_small_nybble_decode(const uint8_t *payload, int64_t plen_in,
         int ctx =
             sb_ctx((uint8_t)(nybs[2 * done - 2] | (nybs[2 * done - 1] << 4)));
         int64_t pos = nn;
-        int64_t wl = sn_emit(&t, ctx, idx, nybs, &nn, target);
+        int64_t wl = sn_emit(t, ctx, idx, nybs, &nn, target);
         if (wl < 0) {
             ret = DCT_ERR_FORMAT; /* decoded past expected length */
             break;
         }
-        sn_add(&t, pctx, pidx, ppos, plen, nybs[pos]);
+        sn_add(t, pctx, pidx, ppos, plen, nybs[pos]);
         pctx = ctx;
         pidx = idx;
         ppos = pos;
@@ -500,6 +532,7 @@ int64_t dct_small_nybble_decode(const uint8_t *payload, int64_t plen_in,
     if (ret == 0)
         for (int64_t k = 0; k < raw_len; k++)
             dst[k] = (uint8_t)(nybs[2 * k] | (nybs[2 * k + 1] << 4));
+    free(t);
     free(nybs);
     return ret < 0 ? ret : raw_len;
 }

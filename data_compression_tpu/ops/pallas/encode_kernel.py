@@ -41,6 +41,12 @@ from data_compression_tpu.ops.encode_fast import (
     pack_encode_table,
 )
 from data_compression_tpu.ops.huffman_coding import _cap_digits
+from data_compression_tpu.utils.jit_cache import enable_persistent_cache
+
+# Importing this module means a Pallas compile is imminent (the slow
+# path the persistent cache exists for); bare library import stays
+# config-neutral (ADVICE r3).
+enable_persistent_cache()
 
 CHUNK_SYMS = 512  # 128 chunks x 512 symbols = 64 KiB block
 LANES = 128

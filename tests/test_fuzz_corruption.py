@@ -14,6 +14,8 @@ canonical rank in C (libdctpu.c) so even Kraft-invalid tables cannot
 index out of the 256-entry symbol array.
 """
 
+import zlib
+
 import numpy as np
 import pytest
 
@@ -58,7 +60,9 @@ def _payload_region(stream: bytes) -> tuple:
 
 @pytest.mark.parametrize("name,cfg", CONFIGS, ids=[c[0] for c in CONFIGS])
 def test_bitflip_fuzz(name, cfg):
-    rng = np.random.default_rng(hash(name) % 2**32)
+    # deterministic seed: hash() is randomized per process by
+    # PYTHONHASHSEED, which made failures non-reproducible (ADVICE r3)
+    rng = np.random.default_rng(zlib.crc32(name.encode()))
     size = 3 * cfg.block_size // 2  # two blocks, one partial
     data = ascii_text(rng, size)
     stream = bytearray(compress(data, cfg))
@@ -80,7 +84,7 @@ def test_bitflip_fuzz(name, cfg):
 
 @pytest.mark.parametrize("name,cfg", CONFIGS, ids=[c[0] for c in CONFIGS])
 def test_truncation_fuzz(name, cfg):
-    rng = np.random.default_rng(1 + hash(name) % 2**32)
+    rng = np.random.default_rng(1 + zlib.crc32(name.encode()))
     data = ascii_text(rng, cfg.block_size + 100)
     stream = compress(data, cfg)
     for frac in (0.25, 0.5, 0.9, 0.99):
