@@ -95,6 +95,11 @@ class CodecConfig:
     use_pallas: bool = True  # fused TPU kernels when shapes/backend allow
     shared_table: bool = False
     use_device: bool = True
+    # Serial-state codecs (nybble/small): the lax.scan device paths are
+    # block-parallel correctness demos, orders of magnitude slower than
+    # the native C path (one scan dispatch per output byte).  They are
+    # opt-in; production decode always routes native/host.
+    use_scan: bool = False
     level: Optional[int] = None  # reserved
 
     def __post_init__(self):

@@ -34,6 +34,9 @@ bytes >= 0x80 are passed through as LITERAL blocks.
 Device path: blocks are decoded/encoded in parallel — one lax.scan lane
 per block (ops/scan_codecs.py) — because within a block every byte
 depends on the mutable MTF table (inherently serial; SURVEY.md §3.3).
+The scan path is an opt-in demo (``CodecConfig.use_scan``): one scan
+step per output byte makes it orders of magnitude slower than the
+native C path, which is the production default in both directions.
 """
 
 from __future__ import annotations
@@ -160,22 +163,30 @@ class NybbleCodec(Codec):
     name = "nybble"
 
     def encode_blocks(self, blocks: np.ndarray, lengths: np.ndarray) -> EncodeResult:
-        if self.config.use_device and blocks.shape[0] > 1:
+        if self.config.use_scan and blocks.shape[0] > 1:
             from data_compression_tpu.ops.scan_codecs import nybble_encode_blocks
 
             return EncodeResult(payloads=nybble_encode_blocks(blocks, lengths))
         from data_compression_tpu import native
 
-        use_native = native.load() is not None
-        payloads = []
-        for i in range(blocks.shape[0]):
-            raw = blocks[i, : int(lengths[i])]
-            if raw.size and raw.max(initial=0) >= 0x80:
-                payloads.append(raw.tobytes())  # force LITERAL fallback
-            elif use_native:
-                payloads.append(native.nybble_encode(raw.tobytes()))
-            else:
-                payloads.append(encode_host(raw.tobytes()))
+        B = blocks.shape[0]
+        lengths = np.asarray(lengths, np.int64)
+        # Blocks with bytes >= 0x80 can't ride the 7-bit scheme
+        # (nybble_compression.c:910 asserts the same); they take the
+        # LITERAL fallback via an incompressible payload.
+        pos = np.arange(blocks.shape[1])[None, :] < lengths[:, None]
+        ok = ~np.any((blocks >= 0x80) & pos, axis=1)
+        payloads: List[Optional[bytes]] = [None] * B
+        idx = np.flatnonzero(ok)
+        if native.load() is not None and idx.size:
+            enc = native.encode_batch("nybble", blocks[idx], lengths[idx])
+            for k, i in enumerate(idx):
+                payloads[i] = enc[k]
+        else:
+            for i in idx:
+                payloads[i] = encode_host(blocks[i, : int(lengths[i])].tobytes())
+        for i in np.flatnonzero(~ok):
+            payloads[i] = blocks[i, : int(lengths[i])].tobytes()
         return EncodeResult(payloads=payloads)
 
     def decode_blocks(
@@ -184,14 +195,12 @@ class NybbleCodec(Codec):
         raw_lens: List[int],
         shared_table: Optional[bytes] = None,
     ) -> List[bytes]:
-        if self.config.use_device and len(payloads) > 1:
+        if self.config.use_scan and len(payloads) > 1:
             from data_compression_tpu.ops.scan_codecs import nybble_decode_blocks
 
             return nybble_decode_blocks(payloads, raw_lens)
         from data_compression_tpu import native
 
         if native.load() is not None:
-            return [
-                native.nybble_decode(p, r) for p, r in zip(payloads, raw_lens)
-            ]
+            return native.decode_batch("nybble", payloads, raw_lens)
         return [decode_host(p, r) for p, r in zip(payloads, raw_lens)]

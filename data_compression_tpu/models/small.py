@@ -362,20 +362,27 @@ class SmallByteCodec(Codec):
     def encode_blocks(self, blocks: np.ndarray, lengths: np.ndarray) -> EncodeResult:
         from data_compression_tpu import native
 
-        use_native = native.load() is not None
-        payloads = []
-        for i in range(blocks.shape[0]):
-            raw = blocks[i, : int(lengths[i])]
-            if raw.size and raw.max(initial=0) >= 0x80:
-                payloads.append(raw.tobytes())
-            elif use_native:
-                payloads.append(native.small_byte_encode(raw.tobytes()))
-            else:
-                payloads.append(small_byte_encode_host(raw.tobytes()))
+        B = blocks.shape[0]
+        lengths = np.asarray(lengths, np.int64)
+        pos = np.arange(blocks.shape[1])[None, :] < lengths[:, None]
+        ok = ~np.any((blocks >= 0x80) & pos, axis=1)
+        payloads = [None] * B
+        idx = np.flatnonzero(ok)
+        if native.load() is not None and idx.size:
+            enc = native.encode_batch("small_byte", blocks[idx], lengths[idx])
+            for k, i in enumerate(idx):
+                payloads[i] = enc[k]
+        else:
+            for i in idx:
+                payloads[i] = small_byte_encode_host(
+                    blocks[i, : int(lengths[i])].tobytes()
+                )
+        for i in np.flatnonzero(~ok):
+            payloads[i] = blocks[i, : int(lengths[i])].tobytes()
         return EncodeResult(payloads=payloads)
 
     def decode_blocks(self, payloads, raw_lens, shared_table=None):
-        if self.config.use_device and len(payloads) > 1:
+        if self.config.use_scan and len(payloads) > 1:
             from data_compression_tpu.ops.scan_codecs import (
                 small_byte_decode_blocks,
             )
@@ -384,9 +391,7 @@ class SmallByteCodec(Codec):
         from data_compression_tpu import native
 
         if native.load() is not None:
-            return [
-                native.small_byte_decode(p, r) for p, r in zip(payloads, raw_lens)
-            ]
+            return native.decode_batch("small_byte", payloads, raw_lens)
         return [small_byte_decode_host(p, r) for p, r in zip(payloads, raw_lens)]
 
 
@@ -396,22 +401,19 @@ class SmallNybbleCodec(Codec):
     def encode_blocks(self, blocks: np.ndarray, lengths: np.ndarray) -> EncodeResult:
         from data_compression_tpu import native
 
-        use_native = native.load() is not None
+        if native.load() is not None:
+            return EncodeResult(
+                payloads=native.encode_batch("small_nybble", blocks, lengths)
+            )
         payloads = []
         for i in range(blocks.shape[0]):
             raw = blocks[i, : int(lengths[i])].tobytes()
-            if use_native:
-                payloads.append(native.small_nybble_encode(raw))
-            else:
-                payloads.append(small_nybble_encode_host(raw))
+            payloads.append(small_nybble_encode_host(raw))
         return EncodeResult(payloads=payloads)
 
     def decode_blocks(self, payloads, raw_lens, shared_table=None):
         from data_compression_tpu import native
 
         if native.load() is not None:
-            return [
-                native.small_nybble_decode(p, r)
-                for p, r in zip(payloads, raw_lens)
-            ]
+            return native.decode_batch("small_nybble", payloads, raw_lens)
         return [small_nybble_decode_host(p, r) for p, r in zip(payloads, raw_lens)]

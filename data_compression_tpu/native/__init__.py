@@ -30,6 +30,7 @@ def _build() -> bool:
         "cc",
         "-O3",
         "-march=native",
+        "-fopenmp",  # batch drivers parallelize across blocks
         "-shared",
         "-fPIC",
         "-o",
@@ -37,6 +38,11 @@ def _build() -> bool:
         _SRC,
     ]
     try:
+        r = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
+        if r.returncode == 0:
+            return True
+        # toolchains without libgomp: retry serial
+        cmd.remove("-fopenmp")
         r = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
         return r.returncode == 0
     except Exception:
@@ -75,6 +81,14 @@ def load() -> Optional[ctypes.CDLL]:
         lib.dct_small_nybble_encode.argtypes = [u8p, i64, u8p, i64]
         lib.dct_small_nybble_decode.restype = i64
         lib.dct_small_nybble_decode.argtypes = [u8p, i64, u8p, i64]
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        for name in ("nybble", "small_byte", "small_nybble"):
+            f = getattr(lib, f"dct_{name}_encode_batch")
+            f.restype = None
+            f.argtypes = [u8p, i64p, i64p, u8p, i64, i64p, i64]
+            g = getattr(lib, f"dct_{name}_decode_batch")
+            g.restype = None
+            g.argtypes = [u8p, i64p, i64p, i64p, u8p, i64, i64p, i64]
         lib.dct_huffman_encode_chunk.restype = i64
         lib.dct_huffman_encode_chunk.argtypes = [
             u8p,
@@ -114,7 +128,7 @@ def nybble_encode(src: bytes) -> Optional[bytes]:
     n = lib.dct_nybble_encode(_buf(src), len(src), out, cap)
     if n < 0:
         raise ValueError(f"native nybble encode error {n}")
-    return bytes(out[:n])
+    return ctypes.string_at(out, n)
 
 
 def nybble_decode(payload: bytes, raw_len: int) -> Optional[bytes]:
@@ -125,7 +139,7 @@ def nybble_decode(payload: bytes, raw_len: int) -> Optional[bytes]:
     n = lib.dct_nybble_decode(_buf(payload), len(payload), out, raw_len)
     if n < 0:
         raise ValueError(f"native nybble decode error {n}")
-    return bytes(out[:n])
+    return ctypes.string_at(out, n)
 
 
 def small_byte_encode(src: bytes) -> Optional[bytes]:
@@ -137,7 +151,7 @@ def small_byte_encode(src: bytes) -> Optional[bytes]:
     n = lib.dct_small_byte_encode(_buf(src), len(src), out, cap)
     if n < 0:
         raise ValueError(f"native small_byte encode error {n}")
-    return bytes(out[:n])
+    return ctypes.string_at(out, n)
 
 
 def small_byte_decode(payload: bytes, raw_len: int) -> Optional[bytes]:
@@ -148,7 +162,7 @@ def small_byte_decode(payload: bytes, raw_len: int) -> Optional[bytes]:
     n = lib.dct_small_byte_decode(_buf(payload), len(payload), out, raw_len)
     if n < 0:
         raise ValueError(f"native small_byte decode error {n}")
-    return bytes(out[:n])
+    return ctypes.string_at(out, n)
 
 
 def small_nybble_encode(src: bytes) -> Optional[bytes]:
@@ -160,7 +174,7 @@ def small_nybble_encode(src: bytes) -> Optional[bytes]:
     n = lib.dct_small_nybble_encode(_buf(src), len(src), out, cap)
     if n < 0:
         raise ValueError(f"native small_nybble encode error {n}")
-    return bytes(out[:n])
+    return ctypes.string_at(out, n)
 
 
 def small_nybble_decode(payload: bytes, raw_len: int) -> Optional[bytes]:
@@ -171,7 +185,95 @@ def small_nybble_decode(payload: bytes, raw_len: int) -> Optional[bytes]:
     n = lib.dct_small_nybble_decode(_buf(payload), len(payload), out, raw_len)
     if n < 0:
         raise ValueError(f"native small_nybble decode error {n}")
-    return bytes(out[:n])
+    return ctypes.string_at(out, n)
+
+
+def _i64arr(vals):
+    import numpy as np
+
+    return np.ascontiguousarray(vals, np.int64)
+
+
+def encode_batch(kind: str, blocks, lengths) -> Optional[list]:
+    """Encode independent blocks in parallel (OpenMP across blocks).
+
+    ``blocks``: [B, S] uint8 C-contiguous ndarray; ``lengths``: valid
+    bytes per block.  Returns per-block payload bytes; raises on the
+    first block error (same codes as the single-block wrappers).
+    """
+    import numpy as np
+
+    lib = load()
+    if lib is None:
+        return None
+    blocks = np.ascontiguousarray(blocks, np.uint8)
+    B, S = blocks.shape
+    lens = _i64arr(lengths)
+    offs = np.arange(B, dtype=np.int64) * S
+    stride = 2 * S + 16
+    dst = np.empty((B, stride), np.uint8)
+    out_len = np.empty(B, np.int64)
+    fn = getattr(lib, f"dct_{kind}_encode_batch")
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u8 = ctypes.POINTER(ctypes.c_uint8)
+    fn(
+        blocks.ctypes.data_as(u8),
+        offs.ctypes.data_as(i64p),
+        lens.ctypes.data_as(i64p),
+        dst.ctypes.data_as(u8),
+        stride,
+        out_len.ctypes.data_as(i64p),
+        B,
+    )
+    bad = np.flatnonzero(out_len < 0)
+    if bad.size:
+        raise ValueError(
+            f"native {kind} encode error {int(out_len[bad[0]])} "
+            f"(block {int(bad[0])})"
+        )
+    return [dst[i, : int(out_len[i])].tobytes() for i in range(B)]
+
+
+def decode_batch(kind: str, payloads, raw_lens) -> Optional[list]:
+    """Decode independent payloads in parallel (OpenMP across blocks)."""
+    import numpy as np
+
+    lib = load()
+    if lib is None:
+        return None
+    B = len(payloads)
+    if B == 0:
+        return []
+    plens = _i64arr([len(p) for p in payloads])
+    offs = np.zeros(B, np.int64)
+    np.cumsum(plens[:-1], out=offs[1:])
+    src = np.frombuffer(b"".join(payloads), np.uint8) if int(
+        plens.sum()
+    ) else np.zeros(1, np.uint8)
+    rls = _i64arr(raw_lens)
+    stride = max(1, int(rls.max(initial=1)))
+    dst = np.empty((B, stride), np.uint8)
+    out_len = np.empty(B, np.int64)
+    fn = getattr(lib, f"dct_{kind}_decode_batch")
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u8 = ctypes.POINTER(ctypes.c_uint8)
+    fn(
+        np.ascontiguousarray(src).ctypes.data_as(u8),
+        offs.ctypes.data_as(i64p),
+        plens.ctypes.data_as(i64p),
+        rls.ctypes.data_as(i64p),
+        dst.ctypes.data_as(u8),
+        stride,
+        out_len.ctypes.data_as(i64p),
+        B,
+    )
+    bad = np.flatnonzero(out_len < 0)
+    if bad.size:
+        raise ValueError(
+            f"native {kind} decode error {int(out_len[bad[0]])} "
+            f"(block {int(bad[0])})"
+        )
+    return [dst[i, : int(out_len[i])].tobytes() for i in range(B)]
 
 
 def crc32(data: bytes, seed: int = 0) -> Optional[int]:
@@ -204,7 +306,7 @@ def huffman_encode_chunk(syms, packed_tab, bits_tab, arity: int) -> Optional[byt
     )
     if n < 0:
         raise ValueError(f"native huffman encode error {n}")
-    return bytes(out[:n])
+    return ctypes.string_at(out, n)
 
 
 def huffman_decode_chunk(payload: bytes, count: int, dec_tables, arity: int, L: int):
@@ -231,4 +333,4 @@ def huffman_decode_chunk(payload: bytes, count: int, dec_tables, arity: int, L: 
     )
     if n < 0:
         raise ValueError(f"native huffman decode error {n}")
-    return np.frombuffer(bytes(out[:count]), np.uint8)
+    return np.frombuffer(ctypes.string_at(out, count), np.uint8)

@@ -23,6 +23,45 @@
 #include <stdlib.h>
 #include <string.h>
 
+#ifdef __AVX2__
+#include <immintrin.h>
+#endif
+
+/* First slot >= `from` whose key equals `target`, or -1.  The child
+ * search of both LZW schemes is "first slot matching (prefix, letter)"
+ * — packing that pair into one u32 key per slot turns the 6-array
+ * linear scan into a flat SIMD equality sweep with identical
+ * first-match semantics.  `n` must be a multiple of 8 (pad slots carry
+ * a sentinel key no target equals). */
+static inline int key_find_next(const uint32_t *keys, int n, uint32_t target,
+                                int from) {
+    if (from >= n) return -1;
+#ifdef __AVX512F__
+    __m512i t16 = _mm512_set1_epi32((int)target);
+    for (int s = from & ~15; s < n; s += 16) {
+        __mmask16 m =
+            _mm512_cmpeq_epi32_mask(_mm512_loadu_si512(keys + s), t16);
+        if (s < from) m &= (__mmask16)~((1u << (from - s)) - 1);
+        if (m) return s + __builtin_ctz((unsigned)m);
+    }
+    return -1;
+#elif defined(__AVX2__)
+    __m256i t = _mm256_set1_epi32((int)target);
+    for (int s = from & ~7; s < n; s += 8) {
+        __m256i k = _mm256_loadu_si256((const __m256i *)(keys + s));
+        int m = _mm256_movemask_ps(
+            _mm256_castsi256_ps(_mm256_cmpeq_epi32(k, t)));
+        if (s < from) m &= ~((1 << (from - s)) - 1);
+        if (m) return s + __builtin_ctz((unsigned)m);
+    }
+    return -1;
+#else
+    for (int s = from; s < n; s++)
+        if (keys[s] == target) return s;
+    return -1;
+#endif
+}
+
 #define DCT_ERR_INPUT (-1)
 #define DCT_ERR_CAPACITY (-2)
 #define DCT_ERR_FORMAT (-3)
@@ -177,6 +216,9 @@ int64_t dct_nybble_decode(const uint8_t *payload, int64_t plen, uint8_t *dst,
 /* Frozen-content span dictionary (see models/small.py).  A slot is
  * either its default (' ' + chr(i), start < 0) or an immutable span
  * (start, length) of the decoded output. */
+#define SB_SLOTS_PAD 128 /* SB_SLOTS rounded up for the SIMD key sweep */
+#define KEY_SENTINEL 0x80000000u
+
 typedef struct {
     int64_t start[SB_CTX][SB_SLOTS];
     int64_t length[SB_CTX][SB_SLOTS];
@@ -184,6 +226,7 @@ typedef struct {
     int32_t prefix[SB_CTX][SB_SLOTS];
     int64_t prefix_gen[SB_CTX][SB_SLOTS];
     uint8_t letter[SB_CTX][SB_SLOTS];
+    uint32_t key[SB_CTX][SB_SLOTS_PAD]; /* (prefix << 8) | letter */
     int32_t nwi[SB_CTX];
 } sb_dict;
 
@@ -196,7 +239,10 @@ static void sb_init(sb_dict *d) {
             d->prefix[c][i] = ' ';
             d->prefix_gen[c][i] = 0;
             d->letter[c][i] = (uint8_t)(i ? i : 'x');
+            d->key[c][i] = ((uint32_t)' ' << 8) | d->letter[c][i];
         }
+        for (int i = SB_SLOTS; i < SB_SLOTS_PAD; i++)
+            d->key[c][i] = KEY_SENTINEL;
         d->nwi[c] = 0;
     }
 }
@@ -213,6 +259,7 @@ static void sb_add(sb_dict *d, int pctx, int pidx, int64_t ppos, int64_t plen,
     d->prefix_gen[pctx][s] =
         (pidx >= 0x80) ? d->gen[pctx][pidx - 0x80] : 0;
     d->letter[pctx][s] = first_byte;
+    d->key[pctx][s] = ((uint32_t)(pidx & 0xFFFF) << 8) | first_byte;
     d->nwi[pctx] = (s + 1) % SB_SLOTS;
 }
 
@@ -243,9 +290,11 @@ static int64_t sb_emit(const sb_dict *d, int ctx, int idx, uint8_t *out,
 
 static int sb_find_child(const sb_dict *d, int ctx, int idx, uint8_t c,
                          int banned) {
-    for (int s = 0; s < SB_SLOTS; s++) {
+    uint32_t target = ((uint32_t)(idx & 0xFFFF) << 8) | c;
+    const uint32_t *keys = d->key[ctx];
+    for (int s = key_find_next(keys, SB_SLOTS_PAD, target, 0); s >= 0;
+         s = key_find_next(keys, SB_SLOTS_PAD, target, s + 1)) {
         if (s == banned) continue;
-        if (d->prefix[ctx][s] != idx || d->letter[ctx][s] != c) continue;
         if (idx >= 0x80 && d->prefix_gen[ctx][s] != d->gen[ctx][idx - 0x80])
             continue;
         return s;
@@ -358,6 +407,9 @@ typedef struct {
     int32_t prefix[SB_CTX][SN_SLOTS];
     int64_t prefix_gen[SB_CTX][SN_SLOTS];
     uint8_t letter[SB_CTX][SN_SLOTS];
+    uint32_t key[SB_CTX][SN_SLOTS]; /* (prefix << 8) | letter; literal
+                                       slots hold KEY_SENTINEL (the scan
+                                       skips them) */
     int32_t nwi[SB_CTX];
 } sn_table;
 
@@ -372,6 +424,10 @@ static void sn_init(sn_table *t) {
             t->prefix[c][i] = (i & 0xF) | 0x10;
             t->prefix_gen[c][i] = 0;
             t->letter[c][i] = (uint8_t)((i >> 4) & 0xF);
+            t->key[c][i] = sn_is_lit(i)
+                               ? KEY_SENTINEL
+                               : (((uint32_t)t->prefix[c][i] << 8) |
+                                  t->letter[c][i]);
         }
         t->nwi[c] = 0x80;
     }
@@ -389,6 +445,7 @@ static void sn_add(sn_table *t, int pctx, int pidx, int64_t ppos,
     else
         t->prefix_gen[pctx][s] = 0;
     t->letter[pctx][s] = first_nybble;
+    t->key[pctx][s] = ((uint32_t)(pidx & 0xFFFF) << 8) | first_nybble;
     int nxt = s + 1;
     if (nxt >= 0x100) nxt = 0x80;
     t->nwi[pctx] = nxt;
@@ -424,9 +481,23 @@ static int sn_find_child(const sn_table *t, int ctx, int idx, uint8_t nyb,
     int chk = !sn_is_lit(idx);
     int64_t want = 0;
     if (chk && idx >= 0 && t->start[ctx][idx] >= 0) want = t->gen[ctx][idx];
-    for (int s = 0; s < SN_SLOTS; s++) {
-        if (s == banned || sn_is_lit(s)) continue;
-        if (t->prefix[ctx][s] != idx || t->letter[ctx][s] != nyb) continue;
+    uint32_t target = ((uint32_t)(idx & 0xFFFF) << 8) | nyb;
+    const uint32_t *keys = t->key[ctx];
+    /* Slots < 0x80 are immutable defaults (nwi starts at 0x80 and wraps
+     * back to 0x80, small_compression.c:1343-1348), and a default
+     * (prefix, letter) pair is unique — so a literal-prefix search with
+     * nyb < 8 hits its default slot d0 < 0x80 unconditionally (banned
+     * >= 0x80 and literal prefixes carry no gen check), and every other
+     * search can start the sweep at 0x80. */
+    if (!chk) {
+        int d0 = (idx & 0xF) | ((int)nyb << 4);
+        /* nyb == 1 puts d0 in the literal range 0x10-0x1F, which the
+         * child search never matches (sn_is_lit skip) */
+        if (d0 < 0x80 && !sn_is_lit(d0)) return d0;
+    }
+    for (int s = key_find_next(keys, SN_SLOTS, target, 0x80); s >= 0;
+         s = key_find_next(keys, SN_SLOTS, target, s + 1)) {
+        if (s == banned) continue;
         if (chk && t->prefix_gen[ctx][s] != want) continue;
         return s;
     }
@@ -535,6 +606,88 @@ int64_t dct_small_nybble_decode(const uint8_t *payload, int64_t plen_in,
     free(t);
     free(nybs);
     return ret < 0 ? ret : raw_len;
+}
+
+/* ------------------------------------------------------------------ */
+/* Batched serial-codec drivers.  Blocks are independent (the framing  */
+/* guarantees it; SURVEY.md §3.3 block-parallel strategy), so the host */
+/* parallelizes ACROSS blocks with OpenMP — the CPU mirror of the      */
+/* one-block-per-lane device layout.  src: one contiguous buffer with  */
+/* per-block (offset, length); dst: nb rows of dst_stride bytes;       */
+/* out_len[i]: bytes produced or a negative error code for block i.    */
+/* ------------------------------------------------------------------ */
+
+typedef int64_t (*dct_block_fn)(const uint8_t *, int64_t, uint8_t *, int64_t);
+
+static void batch_run(dct_block_fn fn, const uint8_t *src, const int64_t *off,
+                      const int64_t *len, uint8_t *dst, int64_t dst_stride,
+                      int64_t *out_len, int64_t nb) {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic)
+#endif
+    for (int64_t i = 0; i < nb; i++)
+        out_len[i] = fn(src + off[i], len[i], dst + i * dst_stride, dst_stride);
+}
+
+void dct_nybble_encode_batch(const uint8_t *src, const int64_t *off,
+                             const int64_t *len, uint8_t *dst,
+                             int64_t dst_stride, int64_t *out_len,
+                             int64_t nb) {
+    batch_run(dct_nybble_encode, src, off, len, dst, dst_stride, out_len, nb);
+}
+
+void dct_small_byte_encode_batch(const uint8_t *src, const int64_t *off,
+                                 const int64_t *len, uint8_t *dst,
+                                 int64_t dst_stride, int64_t *out_len,
+                                 int64_t nb) {
+    batch_run(dct_small_byte_encode, src, off, len, dst, dst_stride, out_len,
+              nb);
+}
+
+void dct_small_nybble_encode_batch(const uint8_t *src, const int64_t *off,
+                                   const int64_t *len, uint8_t *dst,
+                                   int64_t dst_stride, int64_t *out_len,
+                                   int64_t nb) {
+    batch_run(dct_small_nybble_encode, src, off, len, dst, dst_stride,
+              out_len, nb);
+}
+
+/* Decode batch: payload i at src+off[i] (len[i] bytes) decodes to
+ * raw_len[i] bytes at dst + i*dst_stride. */
+static void batch_run_dec(dct_block_fn fn, const uint8_t *src,
+                          const int64_t *off, const int64_t *len,
+                          const int64_t *raw_len, uint8_t *dst,
+                          int64_t dst_stride, int64_t *out_len, int64_t nb) {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic)
+#endif
+    for (int64_t i = 0; i < nb; i++)
+        out_len[i] =
+            fn(src + off[i], len[i], dst + i * dst_stride, raw_len[i]);
+}
+
+void dct_nybble_decode_batch(const uint8_t *src, const int64_t *off,
+                             const int64_t *len, const int64_t *raw_len,
+                             uint8_t *dst, int64_t dst_stride,
+                             int64_t *out_len, int64_t nb) {
+    batch_run_dec(dct_nybble_decode, src, off, len, raw_len, dst, dst_stride,
+                  out_len, nb);
+}
+
+void dct_small_byte_decode_batch(const uint8_t *src, const int64_t *off,
+                                 const int64_t *len, const int64_t *raw_len,
+                                 uint8_t *dst, int64_t dst_stride,
+                                 int64_t *out_len, int64_t nb) {
+    batch_run_dec(dct_small_byte_decode, src, off, len, raw_len, dst,
+                  dst_stride, out_len, nb);
+}
+
+void dct_small_nybble_decode_batch(const uint8_t *src, const int64_t *off,
+                                   const int64_t *len, const int64_t *raw_len,
+                                   uint8_t *dst, int64_t dst_stride,
+                                   int64_t *out_len, int64_t nb) {
+    batch_run_dec(dct_small_nybble_decode, src, off, len, raw_len, dst,
+                  dst_stride, out_len, nb);
 }
 
 /* ------------------------------------------------------------------ */
