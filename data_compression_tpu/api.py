@@ -16,7 +16,7 @@ import numpy as np
 from data_compression_tpu import framing
 from data_compression_tpu.config import CodecConfig
 from data_compression_tpu.registry import get_codec
-from data_compression_tpu.utils.crc import crc32
+from data_compression_tpu.utils.crc import crc32, crc32_blocks
 
 BytesLike = Union[bytes, bytearray, memoryview, np.ndarray]
 
@@ -50,14 +50,14 @@ def compress(
         flags.append(framing.BLOCK_META)
         crcs.append(crc32(bytes(meta)))
         raw_lens.append(0)
+    block_crcs = crc32_blocks(blocks, lengths)  # batched, no copies
     for i, payload in enumerate(result.payloads):
         raw_len = int(lengths[i])
-        raw_block = blocks[i, :raw_len].tobytes()
-        crcs.append(crc32(raw_block))
+        crcs.append(int(block_crcs[i]))
         # Universal LITERAL fallback: store raw when compression loses
         # (reference rule, e.g. nybble_compression.c:1018-1037).
         if len(payload) >= raw_len and config.codec != "literal":
-            payloads.append(raw_block)
+            payloads.append(blocks[i, :raw_len].tobytes())
             flags.append(framing.BLOCK_LITERAL)
         else:
             payloads.append(payload)

@@ -1,0 +1,170 @@
+"""Device-resident compression pipeline: ONE jit, zero host round trips.
+
+`api.compress` serves host-resident bytes; its wall time on a
+relay-attached chip is dominated by the host<->device link
+(docs/E2E.md).  This module serves the TPU-native producer whose data
+already lives in HBM (checkpoint shards, activation dumps, on-chip
+logs): the ENTIRE compress pipeline — per-block histogram, on-device
+Huffman tree build (ops/table_build.py), canonical code assignment,
+dense-table layout, fused Pallas encode, payload compaction — runs as
+one compiled function whose inputs and outputs are device arrays.
+`bench.py` reports its steady-state throughput as
+``e2e_device_gbps`` via the dependent-chain methodology.
+
+The inverse direction mirrors it: wire length-tables -> on-device
+canonical decode tables -> fused Pallas decode, one dispatch.
+
+Frames produced from these payloads are byte-identical to
+`api.compress` (same table builder semantics, differential-tested)
+except that `compress_device` cannot see host bytes, so `to_frame`
+fetches raw-block CRCs from the device stream.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import numpy as np
+
+from data_compression_tpu.config import (
+    ARITY_DIGITS_PER_BYTE,
+    ARITY_MAX_LEN,
+    CodecConfig,
+)
+
+LANES = 128
+
+
+@functools.lru_cache(maxsize=None)
+def _compress_fn(arity: int, chunk_syms: int, out_cap: int, interpret: bool = False):
+    import jax
+    import jax.numpy as jnp
+
+    from data_compression_tpu.ops.compaction import compact_rows
+    from data_compression_tpu.ops.histogram import block_histograms
+    from data_compression_tpu.ops.pallas.encode_kernel import _encode_pallas
+    from data_compression_tpu.ops.table_build import (
+        encode_tables_device,
+        huffman_lengths_device,
+    )
+
+    D = ARITY_DIGITS_PER_BYTE[arity]
+
+    @jax.jit
+    def fn(blocks, raw_lens):
+        B, S = blocks.shape
+        hists = block_histograms(blocks, raw_lens)
+        lengths = huffman_lengths_device(hists.astype(jnp.int32), arity)
+        dense, n_used = encode_tables_device(lengths, arity)
+        meta = jnp.stack(
+            [n_used, raw_lens.astype(jnp.int32)], axis=1
+        ).astype(jnp.int32)
+        syms_t = jnp.transpose(
+            blocks.reshape(B, LANES, chunk_syms), (0, 2, 1)
+        )
+        byts, nbd = _encode_pallas(
+            syms_t, dense, meta, arity=arity, chunk_syms=chunk_syms,
+            interpret=interpret,
+        )
+        MB = byts.shape[1]
+        rows = jnp.transpose(byts, (0, 2, 1)).reshape(B * LANES, MB)
+        digits = jnp.transpose(nbd, (0, 2, 1)).reshape(B * LANES)
+        nb = -(-digits // D)
+        flat = compact_rows(rows, nb, out_cap)
+        return flat, nb.reshape(B, LANES), lengths.astype(jnp.uint8)
+
+    return fn
+
+
+@dataclasses.dataclass
+class DeviceCompressed:
+    """Device-resident compressed stream: everything needed to frame or
+    decode, as device arrays."""
+
+    flat: object  # [out_cap] uint8 — compacted wire bytes
+    nb: object  # [B, 128] int32 — per-chunk wire byte counts
+    table_lengths: object  # [B, 256] uint8 — per-block wire tables
+    raw_lens: np.ndarray  # [B] host — valid bytes per block
+    arity: int
+    chunk_syms: int
+
+    def total_bytes(self) -> int:
+        return int(np.asarray(self.nb).sum())
+
+
+def compress_blocks_device(
+    blocks,  # [B, S] uint8 device array (S = 128 * chunk_syms)
+    raw_lens: np.ndarray,
+    config: Optional[CodecConfig] = None,
+    out_cap: Optional[int] = None,
+    interpret: bool = False,
+) -> DeviceCompressed:
+    """Compress device-resident blocks in one dispatch.  ``out_cap``
+    bounds the compacted output; when omitted, a capacity of the input
+    size is used and the (adversarial-input) overflow case retries 2x
+    larger — compressed-bigger-than-raw blocks belong to the LITERAL
+    fallback of the framing layer, not this pipeline."""
+    import jax.numpy as jnp
+
+    from data_compression_tpu.ops.compaction import round_cap
+
+    config = config or CodecConfig()
+    arity = config.arity
+    B, S = blocks.shape
+    C = S // LANES
+    lens_dev = jnp.asarray(np.asarray(raw_lens, np.int32))
+    cap = round_cap(out_cap if out_cap is not None else B * S)
+    while True:
+        flat, nb, rows = _compress_fn(arity, C, cap, interpret)(blocks, lens_dev)
+        total = int(np.asarray(nb).sum())
+        if total <= cap:
+            return DeviceCompressed(
+                flat=flat, nb=nb, table_lengths=rows,
+                raw_lens=np.asarray(raw_lens, np.int64),
+                arity=arity, chunk_syms=C,
+            )
+        cap = round_cap(2 * cap)
+
+
+@functools.lru_cache(maxsize=None)
+def _decode_fn(arity: int, chunk_syms: int, interpret: bool = False):
+    import jax
+    import jax.numpy as jnp
+
+    from data_compression_tpu.ops.pallas.decode_kernel import (
+        G8,
+        _decode_pallas,
+    )
+    from data_compression_tpu.ops.table_build import decode_tables_device
+
+    L = ARITY_MAX_LEN[arity]
+
+    @jax.jit
+    def fn(payload_t, table_rows, meta):
+        # table_rows: [BP, 256] uint8 wire lengths (BP = NC * 8)
+        BP = table_rows.shape[0]
+        NC = BP // G8
+        lim, bmf, syms = decode_tables_device(
+            table_rows.astype(jnp.int32), arity, L
+        )
+        bmf_l = jnp.zeros((BP, LANES), jnp.int32).at[:, : L + 1].set(bmf)
+        return _decode_pallas(
+            payload_t,
+            lim.reshape(NC, G8, L + 1),
+            bmf_l.reshape(NC, G8, LANES),
+            syms.reshape(NC, 2 * G8, LANES).astype(jnp.int32),
+            meta,
+            chunk_syms=chunk_syms,
+            interpret=interpret,
+        )
+
+    return fn
+
+
+def decode_blocks_device(payload_t, table_rows, meta, arity=2, chunk_syms=512,
+                         interpret=False):
+    """One-dispatch decode: padded payload cells + wire length tables ->
+    [NC, 8*C, 128] symbols, all device-resident (n=2 Pallas geometry)."""
+    return _decode_fn(arity, chunk_syms, interpret)(payload_t, table_rows, meta)

@@ -27,6 +27,7 @@ oracle used by differential tests.
 
 from __future__ import annotations
 
+import functools
 import logging
 import struct
 from typing import List, Optional, Tuple
@@ -41,7 +42,6 @@ from data_compression_tpu.config import (
 from data_compression_tpu.huffman.canonical import (
     CanonicalTable,
     build_decode_tables,
-    lengths_to_codes,
 )
 from data_compression_tpu.huffman.tree import huffman_lengths
 from data_compression_tpu.models.base import Codec, EncodeResult
@@ -197,6 +197,45 @@ def _unpack_payload(payload: bytes) -> Tuple[Optional[bytes], List[bytes]]:
     return table_bytes, chunks
 
 
+_jit_cache: dict = {}
+
+
+def _encode_compact_fused(syms_t, dense, meta, *, arity, maxlen, chunk_syms, cap):
+    """ONE device dispatch for the whole encode: Pallas kernel ->
+    chunk-major transpose -> on-device compaction.  Returns (flat wire
+    bytes [cap], per-chunk byte counts [B*128]); the host fetches both
+    in a single device_get, so the encode path costs exactly one
+    dispatch + one download after the histogram."""
+    import jax
+    import jax.numpy as jnp
+
+    from data_compression_tpu.ops.compaction import compact_rows
+    from data_compression_tpu.ops.pallas.encode_kernel import _encode_pallas
+
+    if "ec" not in _jit_cache:
+
+        @functools.partial(
+            jax.jit, static_argnames=("arity", "maxlen", "chunk_syms", "out_cap")
+        )
+        def fn(syms_t, dense, meta, *, arity, maxlen, chunk_syms, out_cap):
+            byts, nbd = _encode_pallas(
+                syms_t, dense, meta, arity=arity, maxlen=maxlen,
+                chunk_syms=chunk_syms,
+            )
+            B, MB, LN = byts.shape
+            rows = jnp.transpose(byts, (0, 2, 1)).reshape(B * LN, MB)
+            digits = jnp.transpose(nbd, (0, 2, 1)).reshape(B * LN)
+            D = ARITY_DIGITS_PER_BYTE[arity]
+            nb = -(-digits // D)
+            return compact_rows(rows, nb, out_cap), nb
+
+        _jit_cache["ec"] = fn
+    return _jit_cache["ec"](
+        syms_t, dense, meta, arity=arity, maxlen=maxlen,
+        chunk_syms=chunk_syms, out_cap=cap,
+    )
+
+
 # ----------------------------------------------------------------------
 # Codec
 # ----------------------------------------------------------------------
@@ -217,14 +256,23 @@ class HuffmanCodec(Codec):
         if B == 0:
             return EncodeResult(payloads=[], shared_table=None)
         arity = self.config.arity
+        lengths = np.asarray(lengths, np.int64)
+
+        from data_compression_tpu.huffman import batched as hb
 
         # Histograms: device-parallel, host fallback for tiny batches.
+        # The device array is kept and reused by the encode kernel so
+        # the stream is uploaded exactly once.
+        dev_blocks = None
         if self.config.use_device:
             from data_compression_tpu.ops.histogram import block_histograms
             import jax.numpy as jnp
 
+            from data_compression_tpu.utils.transfer import to_device
+
+            dev_blocks = to_device(blocks)
             hists = np.asarray(
-                block_histograms(jnp.asarray(blocks), jnp.asarray(lengths))
+                block_histograms(dev_blocks, jnp.asarray(lengths))
             ).astype(np.int64)
         else:
             hists = np.stack(
@@ -237,137 +285,204 @@ class HuffmanCodec(Codec):
         shared_table_bytes = None
         if self.config.shared_table:
             lengths_tab = capped_lengths(hists.sum(axis=0), arity)
-            tables = [lengths_to_codes(lengths_tab, arity)] * B
-            shared_table_bytes = tables[0].to_bytes()
+            tb = hb.codes_batch(
+                np.tile(np.asarray(lengths_tab, np.int32), (B, 1)), arity
+            )
+            shared_table_bytes = np.asarray(lengths_tab, np.uint8).tobytes()
         else:
-            tables = [
-                lengths_to_codes(capped_lengths(hists[i], arity), arity)
-                for i in range(B)
-            ]
+            tb = hb.codes_batch(hb.capped_lengths_batch(hists, arity), arity)
 
         # Generic arities (the reference's 9/10-ary experiments,
         # n_ary_huffman.c:1161-1208) have no bit-field wire packing, so
         # they ride the digit-generic host path regardless of
         # use_device; 2/3/16 get the device/native fast paths.
         if self.config.use_device and arity in FAST_ARITIES:
-            chunk_payloads = self._encode_device(blocks, lengths, tables)
+            fast = self._encode_device_compact(dev_blocks, lengths, tb, hists)
+            if fast is not None:
+                return EncodeResult(payloads=fast, shared_table=shared_table_bytes)
+            chunk_payloads = self._encode_device(dev_blocks, lengths, tb)
         else:
-            chunk_payloads = self._encode_host(blocks, lengths, tables)
+            chunk_payloads = self._encode_host(blocks, lengths, tb)
 
+        shared = self.config.shared_table
+        table_rows = None if shared else tb.table_bytes()
         payloads = []
         for i in range(B):
-            tb = None if self.config.shared_table else tables[i].to_bytes()
-            payloads.append(_pack_payload(tb, chunk_payloads[i]))
+            row = None if shared else table_rows[i].tobytes()
+            payloads.append(_pack_payload(row, chunk_payloads[i]))
         return EncodeResult(payloads=payloads, shared_table=shared_table_bytes)
 
-    def _encode_host(self, blocks, lengths, tables) -> List[List[bytes]]:
-        from data_compression_tpu import native
-        from data_compression_tpu.ops.encode_fast import pack_encode_table
-
-        use_native = (
-            native.load() is not None and self.config.arity in FAST_ARITIES
-        )
-        packed_cache = {}
-
-        def _pk(t):
-            if id(t) not in packed_cache:
-                packed_cache[id(t)] = pack_encode_table(t)
-            return packed_cache[id(t)]
-
-        out = []
+    def _assemble_payloads(
+        self,
+        flat: np.ndarray,  # compacted wire bytes, chunk-concatenation order
+        nb: np.ndarray,  # [B, ncb] per-chunk wire bytes
+        raw_lens: np.ndarray,
+        tb,
+    ) -> List[bytes]:
+        """Vectorized _pack_payload over all blocks: byte-identical
+        frames, no per-chunk Python objects."""
+        B, ncb = nb.shape
         C = self.config.chunk_syms
-        for i in range(blocks.shape[0]):
-            raw = blocks[i, : int(lengths[i])]
-            chunks = []
-            for c, cnt in enumerate(self._chunk_counts(int(lengths[i]))):
-                seg = raw[c * C : c * C + cnt]
-                if use_native:
-                    pt, bt = _pk(tables[i])
-                    chunks.append(
-                        native.huffman_encode_chunk(seg, pt, bt, self.config.arity)
-                    )
-                else:
-                    chunks.append(encode_chunk_np(seg, tables[i]))
-            out.append(chunks)
-        return out
+        n_real = np.maximum(1, -(-raw_lens // C)).astype(np.int64)
+        block_data = nb.sum(axis=1)
+        block_start = np.zeros(B + 1, np.int64)
+        np.cumsum(block_data, out=block_start[1:])
+        shared = self.config.shared_table
+        table_rows = None if shared else tb.table_bytes()
+        lens16 = nb.astype("<u2")
+        mode = b"\x01" if shared else b"\x00"
+        payloads = []
+        for i in range(B):
+            nr = int(n_real[i])
+            parts = [mode]
+            if table_rows is not None:
+                parts.append(table_rows[i].tobytes())
+            parts.append(struct.pack("<H", nr))
+            parts.append(lens16[i, :nr].tobytes())
+            parts.append(flat[block_start[i] : block_start[i + 1]].tobytes())
+            payloads.append(b"".join(parts))
+        return payloads
 
-    def _encode_device(self, blocks, lengths, tables) -> List[List[bytes]]:
+    def _pallas_geom_ok(self) -> bool:
         import jax
-        import jax.numpy as jnp
-
-        from data_compression_tpu.ops.encode_fast import (
-            encode_chunks_fast,
-            pack_encode_table,
-        )
-
-        B, S = blocks.shape
-        C = self.config.chunk_syms
-        arity = self.config.arity
 
         from data_compression_tpu.ops.pallas.encode_kernel import LANES
 
-        # one block = 128 lane-chunks of S/128 symbols: any power-of-two
-        # block >= 16 KiB whose chunk_syms matches that geometry
+        S = self.config.block_size
+        C = self.config.chunk_syms
         lane_c = S // LANES
-        pallas_ok = (
+        ok = (
             jax.default_backend() == "tpu"
             and S % LANES == 0
             and C == lane_c
             and C >= 128
             and C & (C - 1) == 0
         )
-        if self.config.use_pallas and not pallas_ok:
+        if self.config.use_pallas and not ok:
             reasons = []
             if jax.default_backend() != "tpu":
                 reasons.append("backend is not tpu")
             if S % LANES or C != lane_c:
-                reasons.append(
-                    f"chunk_syms {C} != block_size/128 ({S}/{LANES})"
-                )
+                reasons.append(f"chunk_syms {C} != block_size/128 ({S}/{LANES})")
             if C < 128 or C & (C - 1):
                 reasons.append(f"chunk_syms {C} not a power of two >= 128")
             _note_pallas_fallback("encode", reasons)
-        if self.config.use_pallas and pallas_ok:
-            from data_compression_tpu.ops.pallas.encode_kernel import (
-                encode_blocks_pallas,
-            )
+        return ok
 
-            packed, nbytes, _ = encode_blocks_pallas(
-                jnp.asarray(blocks), np.asarray(lengths), tables, arity
-            )
-            packed = np.asarray(packed)
-            nbytes = np.asarray(nbytes)
-            ncb = S // C
-            out = []
-            for i in range(B):
-                n_real = len(self._chunk_counts(int(lengths[i])))
-                out.append(
-                    [
-                        packed[i * ncb + c, : int(nbytes[i * ncb + c])].tobytes()
-                        for c in range(n_real)
-                    ]
-                )
-            return out
+    def _encode_host(self, blocks, lengths, tb) -> List[List[bytes]]:
+        from data_compression_tpu import native
+        from data_compression_tpu.huffman import batched as hb
+
+        use_native = (
+            native.load() is not None and self.config.arity in FAST_ARITIES
+        )
+        pt = bt = None
+        if use_native:
+            pt, bt = hb.packed_rows(tb)
+        out = []
+        C = self.config.chunk_syms
+        for i in range(blocks.shape[0]):
+            raw = blocks[i, : int(lengths[i])]
+            table_i = None if use_native else tb.table(i)
+            chunks = []
+            for c, cnt in enumerate(self._chunk_counts(int(lengths[i]))):
+                seg = raw[c * C : c * C + cnt]
+                if use_native:
+                    chunks.append(
+                        native.huffman_encode_chunk(
+                            seg, pt[i], bt[i], self.config.arity
+                        )
+                    )
+                else:
+                    chunks.append(encode_chunk_np(seg, table_i))
+            out.append(chunks)
+        return out
+
+    def _encode_device_compact(
+        self, dev_blocks, lengths, tb, hists
+    ) -> Optional[List[bytes]]:
+        """Fused fast path: Pallas encode + on-device compaction in ONE
+        dispatch; the host downloads only the compressed bytes (cap
+        bounded from the histograms, no extra round trip) and assembles
+        frames from one contiguous buffer.  None when the kernel
+        geometry does not apply (caller falls back to the XLA path)."""
+        if not self._pallas_geom_ok():
+            return None
+        import jax
+        import jax.numpy as jnp
+
+        from data_compression_tpu.config import ARITY_MAX_LEN as _AML
+        from data_compression_tpu.huffman import batched as hb
+        from data_compression_tpu.ops.compaction import round_cap
+        from data_compression_tpu.ops.pallas.encode_kernel import (
+            LANES,
+            MAXLEN_BUCKETS,
+        )
+
+        arity = self.config.arity
+        B, S = dev_blocks.shape
+        C = self.config.chunk_syms
+        D = ARITY_DIGITS_PER_BYTE[arity]
+        ncb = S // C
+
+        dense = hb.dense_rows(tb)
+        meta = np.stack(
+            [tb.n_used, np.asarray(lengths, np.int32)], axis=1
+        ).astype(np.int32)
+        actual_max = int(tb.max_len.max(initial=0))
+        maxlen = min(
+            next((m for m in MAXLEN_BUCKETS if m >= actual_max), _AML[arity]),
+            _AML[arity],
+        )
+        # exact capacity bound from the histograms: per-block digit
+        # totals are sum(freq * len) (the reference's
+        # find_compressed_data_size, n_ary_huffman.c:2466-2506); chunk
+        # byte-rounding adds < 1 byte per chunk
+        block_digits = (hists * tb.lengths.astype(np.int64)).sum(axis=1)
+        cap = round_cap(int((-(-block_digits // D)).sum()) + B * ncb)
+
+        syms_t = jnp.transpose(dev_blocks.reshape(B, LANES, C), (0, 2, 1))
+        flat_d, nb_d = _encode_compact_fused(
+            syms_t,
+            jnp.asarray(dense),
+            jnp.asarray(meta),
+            arity=arity,
+            maxlen=maxlen,
+            chunk_syms=C,
+            cap=cap,
+        )
+        from data_compression_tpu.utils.transfer import from_device
+
+        nb = np.asarray(nb_d).reshape(B, LANES).astype(np.int64)
+        flat = from_device(flat_d)
+        total = int(nb.sum())
+        return self._assemble_payloads(
+            flat[:total], nb, np.asarray(lengths, np.int64), tb
+        )
+
+    def _encode_device(self, dev_blocks, lengths, tb) -> List[List[bytes]]:
+        import jax.numpy as jnp
+
+        from data_compression_tpu.huffman import batched as hb
+        from data_compression_tpu.ops.encode_fast import encode_chunks_fast
+
+        B, S = dev_blocks.shape
+        C = self.config.chunk_syms
+        arity = self.config.arity
+
         ncb = S // C  # chunks per (full) block
-        syms = blocks.reshape(B * ncb, C)
+        syms = dev_blocks.reshape(B * ncb, C)
         counts = np.clip(
             np.asarray(lengths)[:, None] - np.arange(ncb)[None, :] * C, 0, C
         ).reshape(-1)
         tbl_of_chunk = np.repeat(np.arange(B, dtype=np.int32), ncb)
-        cache = {}
-
-        def _pk(t):
-            if id(t) not in cache:
-                cache[id(t)] = pack_encode_table(t)
-            return cache[id(t)]
-
-        pt, bt = zip(*[_pk(t) for t in tables])
+        pt, bt = hb.packed_rows(tb)
 
         packed, nbytes, _ = encode_chunks_fast(
-            jnp.asarray(syms),
+            syms,
             jnp.asarray(counts, jnp.int32),
-            jnp.asarray(np.stack(pt)),
-            jnp.asarray(np.stack(bt)),
+            jnp.asarray(pt),
+            jnp.asarray(bt),
             jnp.asarray(tbl_of_chunk),
             arity=arity,
             chunk_syms=C,
@@ -396,6 +511,8 @@ class HuffmanCodec(Codec):
         if not payloads:
             return []
         arity = self.config.arity
+        if self.config.use_device and arity in FAST_ARITIES:
+            return self._decode_device_vec(payloads, raw_lens, shared_table)
         parsed = [_unpack_payload(p) for p in payloads]
         tables = []
         for (tb, _chunks), _ in zip(parsed, raw_lens):
@@ -405,10 +522,217 @@ class HuffmanCodec(Codec):
                 tables.append(CanonicalTable.from_bytes(shared_table, arity))
             else:
                 tables.append(CanonicalTable.from_bytes(tb, arity))
-
-        if self.config.use_device and arity in FAST_ARITIES:
-            return self._decode_device(parsed, raw_lens, tables)
         return self._decode_host(parsed, raw_lens, tables)
+
+    # ---------------- vectorized device decode -----------------------
+
+    def _parse_payloads_vec(self, payloads, raw_lens, shared_table):
+        """Vectorized payload parse: per-block numpy views, no
+        per-chunk Python objects.  Returns (rows [B,256] u8 length
+        tables, nb [B, ncb] int64 chunk byte counts, flat u8 wire
+        bytes).  All corruption surfaces as ValueError (fuzz
+        contract)."""
+        B = len(payloads)
+        C = self.config.chunk_syms
+        ncb = self.config.block_size // C
+        rows = np.empty((B, 256), np.uint8)
+        shared_row = (
+            np.frombuffer(shared_table, np.uint8, 256)
+            if shared_table is not None and len(shared_table) >= 256
+            else None
+        )
+        nb = np.zeros((B, ncb), np.int64)
+        datas = []
+        for i, p in enumerate(payloads):
+            if not p:
+                raise ValueError("empty huffman payload")
+            mode = p[0]
+            off = 1
+            if mode == 0:
+                if len(p) < 257:
+                    raise ValueError("truncated huffman payload (table)")
+                rows[i] = np.frombuffer(p, np.uint8, 256, 1)
+                off = 257
+            elif mode == 1:
+                if shared_row is None:
+                    raise ValueError(
+                        "stream requires shared table but frame has none"
+                    )
+                rows[i] = shared_row
+            else:
+                raise ValueError(f"bad huffman table mode {mode}")
+            if off + 2 > len(p):
+                raise ValueError("truncated huffman payload (chunk count)")
+            nc = p[off] | (p[off + 1] << 8)
+            off += 2
+            if off + 2 * nc > len(p):
+                raise ValueError("truncated huffman payload (chunk lengths)")
+            if nc > ncb:
+                raise ValueError("huffman chunk count mismatch")
+            counts = self._chunk_counts(int(raw_lens[i]))
+            if nc != len(counts):
+                raise ValueError("huffman chunk count mismatch")
+            lens = np.frombuffer(p, "<u2", nc, off)
+            off += 2 * nc
+            total = int(lens.sum())
+            if off + total > len(p):
+                raise ValueError("truncated huffman payload")
+            nb[i, :nc] = lens
+            datas.append(np.frombuffer(p, np.uint8, total, off))
+        flat = (
+            np.concatenate(datas) if datas else np.zeros(0, np.uint8)
+        )
+        return rows, nb, flat
+
+    def _decode_device_vec(self, payloads, raw_lens, shared_table):
+        import jax
+
+        from data_compression_tpu.huffman import batched as hb
+
+        arity = self.config.arity
+        C = self.config.chunk_syms
+        S = self.config.block_size
+
+        rows, nb, flat = self._parse_payloads_vec(
+            payloads, raw_lens, shared_table
+        )
+        tb = hb.tables_from_bytes(rows, arity)
+
+        from data_compression_tpu.ops.pallas.decode_kernel import LANES
+
+        lane_c = S // LANES
+        pallas_ok = (
+            jax.default_backend() == "tpu"
+            and arity == 2
+            and S % LANES == 0
+            and C == lane_c
+            and C >= 128
+            and C & (C - 1) == 0
+        )
+        if self.config.use_pallas and not pallas_ok:
+            reasons = []
+            if jax.default_backend() != "tpu":
+                reasons.append("backend is not tpu")
+            if arity != 2:
+                reasons.append(f"arity {arity} != 2")
+            if S % LANES or C != lane_c:
+                reasons.append(f"chunk_syms {C} != block_size/128 ({S}/{LANES})")
+            if C < 128 or C & (C - 1):
+                reasons.append(f"chunk_syms {C} not a power of two >= 128")
+            _note_pallas_fallback("decode", reasons)
+        if self.config.use_pallas and pallas_ok:
+            return self._decode_pallas_vec(tb, nb, flat, raw_lens)
+        return self._decode_xla_vec(tb, nb, flat, raw_lens)
+
+    def _decode_pallas_vec(self, tb, nb, flat, raw_lens):
+        from data_compression_tpu.huffman import batched as hb
+        from data_compression_tpu.ops.pallas import decode_kernel as dk
+
+        C = self.config.chunk_syms
+        B = nb.shape[0]
+        _, _, mbp, _, _ = dk._geom(C)
+        if int(nb.max(initial=0)) > mbp:
+            raise ValueError("huffman chunk payload too large")
+        G8, LANES, L, SEG = dk.G8, dk.LANES, dk.L, dk.SEG
+        NC = -(-B // G8)
+        BP = NC * G8
+
+        nb_full = np.zeros((BP, LANES), np.int64)
+        nb_full[:B, : nb.shape[1]] = nb
+        pay = np.zeros((BP * LANES, mbp), np.uint8)
+        pay[
+            np.arange(mbp, dtype=np.int64)[None, :]
+            < nb_full.reshape(-1)[:, None]
+        ] = flat
+        from data_compression_tpu.utils.transfer import from_device, to_device
+
+        payload_t = to_device(
+            np.ascontiguousarray(
+                pay.reshape(NC, G8, LANES, mbp).transpose(0, 3, 1, 2)
+            ).reshape(NC, mbp * G8, LANES)
+        )
+        nb_cell = nb_full.reshape(NC, G8 * LANES).max(axis=1)
+        meta = np.zeros((NC, 1, 2), np.int32)
+        meta[:, 0, 0] = np.maximum(1, -(-(nb_cell * 8) // SEG))
+
+        dr = hb.decode_rows(tb, L)
+        limit = np.zeros((BP, L + 1), np.int64)
+        limit[:B] = dr["limit_scaled"]
+        bmf = np.zeros((BP, LANES), np.int64)
+        bmf[:B, : L + 1] = dr["base_minus_first"]
+        syms = np.zeros((BP, 2, LANES), np.int32)
+        syms[:B] = dr["symbols"].reshape(B, 2, LANES)
+
+        out = dk._decode_pallas(
+            payload_t,
+            to_device(limit.reshape(NC, G8, L + 1).astype(np.int32)),
+            to_device(bmf.reshape(NC, G8, LANES).astype(np.int32)),
+            to_device(syms.reshape(NC, 2 * G8, LANES)),
+            to_device(meta),
+            chunk_syms=C,
+        )
+        arr = from_device(out).reshape(-1, C, LANES).transpose(0, 2, 1)
+        return [
+            arr[b].reshape(-1)[: int(raw_lens[b])].tobytes() for b in range(B)
+        ]
+
+    def _decode_xla_vec(self, tb, nb, flat, raw_lens):
+        import jax.numpy as jnp
+
+        from data_compression_tpu.huffman import batched as hb
+        from data_compression_tpu.ops.decode_fast import (
+            decode_chunks_fast as decode_chunks,
+        )
+        from data_compression_tpu.ops.huffman_coding import max_chunk_bytes
+
+        arity = self.config.arity
+        C = self.config.chunk_syms
+        B, ncb = nb.shape
+        mb = max_chunk_bytes(C, arity)
+        if int(nb.max(initial=0)) > mb:
+            raise ValueError("huffman chunk payload too large")
+        L = ARITY_MAX_LEN[arity]
+
+        n_real = np.asarray(
+            [len(self._chunk_counts(int(r))) for r in raw_lens], np.int64
+        )
+        counts = np.clip(
+            np.asarray(raw_lens, np.int64)[:, None]
+            - np.arange(ncb, dtype=np.int64)[None, :] * C,
+            0,
+            C,
+        )
+        keep = np.arange(ncb)[None, :] < n_real[:, None]  # [B, ncb]
+        flat_counts = counts[keep].astype(np.int32)
+        nb_keep = nb[keep]
+        N = int(keep.sum())
+        payload_arr = np.zeros((N, mb), np.uint8)
+        payload_arr[
+            np.arange(mb, dtype=np.int64)[None, :] < nb_keep[:, None]
+        ] = flat
+        tbl_of = np.repeat(np.arange(B, dtype=np.int32), n_real)
+
+        dr = hb.decode_rows(tb, L)
+        syms = decode_chunks(
+            jnp.asarray(payload_arr),
+            jnp.asarray(flat_counts),
+            jnp.asarray(dr["limit_scaled"].astype(np.int32)),
+            jnp.asarray(dr["base_minus_first"].astype(np.int32)),
+            jnp.asarray(dr["symbols"]),
+            jnp.asarray(tbl_of),
+            arity=arity,
+            chunk_syms=C,
+        )
+        syms = np.asarray(syms)
+
+        out = []
+        start = 0
+        for b in range(B):
+            nc = int(n_real[b])
+            block = syms[start : start + nc].reshape(-1)[: int(raw_lens[b])]
+            out.append(block.tobytes())
+            start += nc
+        return out
 
     def _decode_host(self, parsed, raw_lens, tables) -> List[bytes]:
         from data_compression_tpu import native
@@ -441,101 +765,4 @@ class HuffmanCodec(Codec):
                     decode_chunk_np(ch, cnt, table) for ch, cnt in zip(chunks, counts)
                 ]
             out.append(np.concatenate(parts)[:raw_len].tobytes() if parts else b"")
-        return out
-
-    def _decode_device(self, parsed, raw_lens, tables) -> List[bytes]:
-        import jax
-        import jax.numpy as jnp
-
-        from data_compression_tpu.ops.decode_fast import (
-            decode_chunks_fast as decode_chunks,
-        )
-        from data_compression_tpu.ops.huffman_coding import max_chunk_bytes
-
-        C = self.config.chunk_syms
-        arity = self.config.arity
-
-        from data_compression_tpu.ops.pallas.decode_kernel import LANES
-
-        S = self.config.block_size
-        lane_c = S // LANES
-        pallas_ok = (
-            jax.default_backend() == "tpu"
-            and arity == 2
-            and S % LANES == 0
-            and C == lane_c
-            and C >= 128
-            and C & (C - 1) == 0
-        )
-        if self.config.use_pallas and not pallas_ok:
-            reasons = []
-            if jax.default_backend() != "tpu":
-                reasons.append("backend is not tpu")
-            if arity != 2:
-                reasons.append(f"arity {arity} != 2")
-            if S % LANES or C != lane_c:
-                reasons.append(
-                    f"chunk_syms {C} != block_size/128 ({S}/{LANES})"
-                )
-            if C < 128 or C & (C - 1):
-                reasons.append(f"chunk_syms {C} not a power of two >= 128")
-            _note_pallas_fallback("decode", reasons)
-        if self.config.use_pallas and pallas_ok:
-            from data_compression_tpu.ops.pallas.decode_kernel import (
-                decode_blocks_pallas,
-            )
-
-            return decode_blocks_pallas(
-                [chunks for (_tb, chunks) in parsed],
-                list(raw_lens),
-                tables,
-                chunk_syms=C,
-            )
-
-        mb = max_chunk_bytes(C, arity)
-
-        flat_chunks: List[bytes] = []
-        flat_counts: List[int] = []
-        flat_tbl: List[int] = []
-        spans = []  # (start, nchunks, raw_len)
-        for bi, ((tb, chunks), raw_len) in enumerate(zip(parsed, raw_lens)):
-            counts = self._chunk_counts(raw_len)
-            if len(chunks) != len(counts):
-                raise ValueError("huffman chunk count mismatch")
-            spans.append((len(flat_chunks), len(chunks), raw_len))
-            flat_chunks.extend(chunks)
-            flat_counts.extend(counts)
-            flat_tbl.extend([bi] * len(chunks))
-
-        N = len(flat_chunks)
-        payload_arr = np.zeros((N, mb), np.uint8)
-        for k, ch in enumerate(flat_chunks):
-            if len(ch) > mb:
-                raise ValueError("huffman chunk payload too large")
-            payload_arr[k, : len(ch)] = np.frombuffer(ch, np.uint8)
-
-        dec = [build_decode_tables(t, pad_to=ARITY_MAX_LEN[arity]) for t in tables]
-        limit = np.stack([d["limit_scaled"] for d in dec]).astype(np.int32)
-        bmf = np.stack([d["base_minus_first"] for d in dec]).astype(np.int32)
-        symtab = np.stack([d["symbols"] for d in dec]).astype(np.int32)
-
-        syms = decode_chunks(
-            jnp.asarray(payload_arr),
-            jnp.asarray(np.asarray(flat_counts, np.int32)),
-            jnp.asarray(limit),
-            jnp.asarray(bmf),
-            jnp.asarray(symtab),
-            jnp.asarray(np.asarray(flat_tbl, np.int32)),
-            arity=arity,
-            chunk_syms=C,
-        )
-        syms = np.asarray(syms)
-
-        out = []
-        for start, nc, raw_len in spans:
-            if nc == 0:
-                out.append(b"")
-                continue
-            block = syms[start : start + nc].reshape(-1)[:raw_len]
-            out.append(block.tobytes())
         return out

@@ -82,6 +82,11 @@ def load() -> Optional[ctypes.CDLL]:
         lib.dct_small_nybble_decode.restype = i64
         lib.dct_small_nybble_decode.argtypes = [u8p, i64, u8p, i64]
         i64p = ctypes.POINTER(ctypes.c_int64)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.dct_huffman_capped_lengths_batch.restype = None
+        lib.dct_huffman_capped_lengths_batch.argtypes = [
+            i64p, i64, ctypes.c_int, ctypes.c_int, ctypes.c_int, i32p, i64p,
+        ]
         for name in ("nybble", "small_byte", "small_nybble"):
             f = getattr(lib, f"dct_{name}_encode_batch")
             f.restype = None
@@ -274,6 +279,39 @@ def decode_batch(kind: str, payloads, raw_lens) -> Optional[list]:
             f"(block {int(bad[0])})"
         )
     return [dst[i, : int(out_len[i])].tobytes() for i in range(B)]
+
+
+def huffman_capped_lengths_batch(hists, arity: int, cap: int):
+    """Per-block canonical Huffman lengths under the per-arity cap —
+    bit-identical to models.huffman.capped_lengths over huffman/tree.py
+    (differential-tested), OpenMP-parallel across blocks.  ``hists``:
+    [B, S<=256] int64.  Returns [B, S] int32 lengths or None."""
+    import numpy as np
+
+    lib = load()
+    if lib is None:
+        return None
+    hists = np.ascontiguousarray(hists, np.int64)
+    B, S = hists.shape
+    out = np.empty((B, S), np.int32)
+    status = np.empty(B, np.int64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.dct_huffman_capped_lengths_batch(
+        hists.ctypes.data_as(i64p),
+        B,
+        S,
+        arity,
+        cap,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        status.ctypes.data_as(i64p),
+    )
+    bad = np.flatnonzero(status < 0)
+    if bad.size:
+        raise ValueError(
+            f"native huffman lengths error {int(status[bad[0]])} "
+            f"(block {int(bad[0])})"
+        )
+    return out
 
 
 def crc32(data: bytes, seed: int = 0) -> Optional[int]:

@@ -609,6 +609,127 @@ int64_t dct_small_nybble_decode(const uint8_t *payload, int64_t plen_in,
 }
 
 /* ------------------------------------------------------------------ */
+/* Host Huffman table build, batched.  Semantics are bit-identical to  */
+/* huffman/tree.py (two-queue merge over a stable (count, seniority)   */
+/* order, reference-faithful dummy nodes with the % (n-1) fix of       */
+/* n_ary_huffman.c:900-916, capped_lengths' halving rescale) —         */
+/* differential-tested in tests/test_table_batch.py.  One block costs  */
+/* O(S log S); OpenMP parallelizes across blocks.                      */
+/* ------------------------------------------------------------------ */
+
+typedef struct {
+    int64_t count;
+    int32_t idx;
+} hl_item;
+
+static int hl_cmp(const void *a, const void *b) {
+    const hl_item *x = (const hl_item *)a, *y = (const hl_item *)b;
+    if (x->count != y->count) return x->count < y->count ? -1 : 1;
+    return x->idx < y->idx ? -1 : 1; /* stable: seniority by index */
+}
+
+/* Lengths for one histogram; returns max leaf length (or <0 error).
+ * S <= 256; scratch sized for S + arity dummies + internals. */
+static int hl_once(const int64_t *freqs, int S, int arity, int32_t *out) {
+    int32_t used[256];
+    int k = 0;
+    for (int s = 0; s < S; s++) {
+        out[s] = 0;
+        if (freqs[s] > 0) used[k++] = s;
+    }
+    if (k == 0) return 0;
+    if (k == 1) {
+        out[used[0]] = 1;
+        return 1;
+    }
+    int n1 = arity - 1;
+    int d = (n1 - ((k - 1) % n1)) % n1;
+    int nl = k + d;
+    hl_item items[256 + 64];
+    for (int i = 0; i < k; i++) {
+        items[i].count = freqs[used[i]];
+        items[i].idx = i;
+    }
+    for (int i = k; i < nl; i++) {
+        items[i].count = 1; /* dummies get minimum count 1 */
+        items[i].idx = i;
+    }
+    qsort(items, (size_t)nl, sizeof(hl_item), hl_cmp);
+    /* two queues: sorted leaves + FIFO of internal nodes */
+    int total_nodes = nl + (nl - 1) / n1;
+    int32_t parent[2 * (256 + 64)];
+    int64_t node_count[256 + 64];
+    int32_t node_id[256 + 64];
+    int lq = 0, nq_head = 0, nq_tail = 0;
+    int next_id = nl;
+    int remaining = nl;
+    while (remaining > 1) {
+        int64_t total = 0;
+        for (int a = 0; a < arity; a++) {
+            int64_t c;
+            int32_t id;
+            if (lq < nl && (nq_head == nq_tail ||
+                            items[lq].count <= node_count[nq_head])) {
+                c = items[lq].count;
+                id = items[lq].idx;
+                lq++;
+            } else {
+                c = node_count[nq_head];
+                id = node_id[nq_head];
+                nq_head++;
+            }
+            parent[id] = next_id;
+            total += c;
+        }
+        node_count[nq_tail] = total;
+        node_id[nq_tail] = next_id;
+        nq_tail++;
+        /* FIFO head never outruns tail; reuse of consumed slots is
+         * unnecessary at these sizes */
+        next_id++;
+        remaining -= n1;
+    }
+    int root = next_id - 1;
+    int32_t depth[2 * (256 + 64)];
+    depth[root] = 0;
+    int maxlen = 0;
+    for (int i = root - 1; i >= 0; i--) {
+        depth[i] = depth[parent[i]] + 1;
+        if (i < k && depth[i] > maxlen) maxlen = depth[i];
+    }
+    (void)total_nodes;
+    for (int i = 0; i < k; i++) out[used[i]] = depth[i];
+    return maxlen;
+}
+
+/* capped_lengths semantics (models/huffman.py): halve (flatten)
+ * frequencies until the optimal tree fits the per-arity cap. */
+int64_t dct_huffman_capped_lengths(const int64_t *freqs, int S, int arity,
+                                   int cap, int32_t *out) {
+    if (S > 256 || arity < 2 || arity > 64) return DCT_ERR_INPUT;
+    int64_t f[256];
+    for (int s = 0; s < S; s++) f[s] = freqs[s];
+    for (;;) {
+        int ml = hl_once(f, S, arity, out);
+        if (ml < 0) return ml;
+        if (ml <= cap) return ml;
+        for (int s = 0; s < S; s++)
+            if (f[s] > 0) f[s] = (f[s] + 1) / 2;
+    }
+}
+
+void dct_huffman_capped_lengths_batch(const int64_t *hists, int64_t nb,
+                                      int S, int arity, int cap,
+                                      int32_t *out, int64_t *status) {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (int64_t i = 0; i < nb; i++)
+        status[i] = dct_huffman_capped_lengths(hists + i * S, S, arity, cap,
+                                               out + i * S);
+}
+
+/* ------------------------------------------------------------------ */
 /* Batched serial-codec drivers.  Blocks are independent (the framing  */
 /* guarantees it; SURVEY.md §3.3 block-parallel strategy), so the host */
 /* parallelizes ACROSS blocks with OpenMP — the CPU mirror of the      */

@@ -1,0 +1,283 @@
+"""On-device n-ary Huffman table construction.
+
+The last host-only stage of the compressor.  With it, the ENTIRE
+compress pipeline — histogram, tree build, canonical code assignment,
+encode-table layout, fused encode kernel, payload compaction — is one
+jittable function with zero host round trips (api `compress_device`),
+which is what a TPU-resident producer (e.g. checkpoint shards already
+in HBM) actually needs.
+
+The tree build vectorizes the classic two-queue merge ACROSS blocks:
+one `lax.scan` step performs one n-ary merge for all B blocks (a few
+[B]-wide gathers/selects), so the serial depth is the merge count
+(~319 for n=2), not B x merges.  Tie-breaking reproduces
+huffman/tree.py exactly — leaves keyed (count, seniority) via a single
+int32 sort key, leaf-preferred pops, FIFO internal nodes — so device
+lengths are bit-identical to the host builder (differential-tested in
+tests/test_table_build.py).  Reference anchor: generate_huffman_tree /
+summarize_tree_with_lengths (n_ary_huffman.c:868-1005, :1033-1093) with
+the dummy-node % (n-1) fix (tree.py:36-46).
+
+Length capping reproduces capped_lengths' halving rescale with a
+`lax.while_loop` over the (rare) blocks whose optimal tree exceeds the
+per-arity cap.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from data_compression_tpu.config import ARITY_MAX_LEN
+
+S = 256  # alphabet
+MAXD = 64  # >= arity - 2 dummy leaves
+NL = S + MAXD  # leaf id space (sorted position); internal ids follow
+INF = np.int32(2**31 - 1)
+
+
+def _geometry(arity: int):
+    n1 = arity - 1
+    T = (NL - 1) // n1  # max merges
+    ids = NL + T  # total id space; parent array gets one dump slot
+    return n1, T, ids
+
+
+def _build_once(hists, arity: int):
+    """Uncapped lengths for every block: [B, S] int32 -> [B, S] int32."""
+    n1, T, ids = _geometry(arity)
+    B = hists.shape[0]
+    hists = hists.astype(jnp.int32)
+    used = hists > 0
+    k = used.sum(axis=1).astype(jnp.int32)  # [B]
+    d = jnp.where(k > 0, (n1 - ((k - 1) % n1)) % n1, 0)
+
+    # Leaf sort keys: count * 512 + seniority index (reals in symbol
+    # order, then dummies with count 1) — one int32 sort reproduces the
+    # host's stable (count, idx) order.
+    rank = jnp.cumsum(used, axis=1) - 1  # [B, S] idx of real leaves
+    real_key = jnp.where(used, hists * 512 + rank, INF)
+    j = jnp.arange(MAXD, dtype=jnp.int32)[None, :]
+    dummy_key = jnp.where(j < d[:, None], 512 + k[:, None] + j, INF)
+    leaf_keys = jnp.sort(
+        jnp.concatenate([real_key, dummy_key], axis=1), axis=1
+    )  # [B, NL]
+    leaf_counts = jax.lax.shift_right_logical(leaf_keys, 9)
+    leaf_idx = leaf_keys & 511
+
+    b_ix = jnp.arange(B, dtype=jnp.int32)
+    state = dict(
+        lp=jnp.zeros(B, jnp.int32),  # leaf pointer
+        nh=jnp.zeros(B, jnp.int32),  # node FIFO head (creation order)
+        nt=jnp.zeros(B, jnp.int32),  # node FIFO tail
+        remaining=k + d,
+        node_cnt=jnp.full((B, T), INF, jnp.int32),
+        parent=jnp.full((B, ids + 1), -1, jnp.int32),  # [.., ids] = dump
+    )
+
+    def merge_step(st, t):
+        active = st["remaining"] > 1
+        lp, nh, nt = st["lp"], st["nh"], st["nt"]
+        parent = st["parent"]
+        total = jnp.zeros(B, jnp.int32)
+        for _ in range(arity):
+            lc = jnp.take_along_axis(
+                leaf_counts, jnp.clip(lp, 0, NL - 1)[:, None], axis=1
+            )[:, 0]
+            lc = jnp.where(lp < NL, lc, INF)
+            nc = jnp.take_along_axis(
+                st["node_cnt"], jnp.clip(nh, 0, T - 1)[:, None], axis=1
+            )[:, 0]
+            pick_leaf = lc <= nc
+            child = jnp.where(pick_leaf, lp, NL + nh)
+            child = jnp.where(active, child, ids)  # dump slot
+            parent = parent.at[b_ix, child].set(
+                jnp.where(active, NL + t, -1), mode="drop"
+            )
+            total = total + jnp.where(active, jnp.minimum(lc, nc), 0)
+            lp = jnp.where(active & pick_leaf, lp + 1, lp)
+            nh = jnp.where(active & ~pick_leaf, nh + 1, nh)
+        node_cnt = st["node_cnt"].at[b_ix, jnp.clip(nt, 0, T - 1)].set(
+            jnp.where(active, total, INF), mode="drop"
+        )
+        nt = jnp.where(active, nt + 1, nt)
+        remaining = st["remaining"] - jnp.where(active, n1, 0)
+        return (
+            dict(
+                lp=lp, nh=nh, nt=nt, remaining=remaining,
+                node_cnt=node_cnt, parent=parent,
+            ),
+            None,
+        )
+
+    state, _ = jax.lax.scan(merge_step, state, jnp.arange(T, dtype=jnp.int32))
+    parent = state["parent"][:, : ids]
+
+    # Internal-node depths: ids descending (parents always have larger
+    # ids), one scan step per internal id.
+    idepth = jnp.zeros((B, T), jnp.int32)
+
+    def depth_step(idepth, iid):  # iid: internal index T-1 .. 0
+        p = jax.lax.dynamic_slice_in_dim(parent, NL + iid, 1, axis=1)[:, 0]
+        pd = jnp.take_along_axis(
+            idepth, jnp.clip(p - NL, 0, T - 1)[:, None], axis=1
+        )[:, 0]
+        col = jnp.where(p >= 0, pd + 1, 0)
+        idepth = jax.lax.dynamic_update_slice_in_dim(
+            idepth, col[:, None], iid, axis=1
+        )
+        return idepth, None
+
+    idepth, _ = jax.lax.scan(
+        depth_step, idepth, jnp.arange(T - 1, -1, -1, dtype=jnp.int32)
+    )
+
+    # Leaf depths in one vectorized shot (leaf parents are internal).
+    pl = parent[:, :NL]
+    leaf_depth = jnp.where(
+        pl >= 0,
+        jnp.take_along_axis(idepth, jnp.clip(pl - NL, 0, T - 1), axis=1) + 1,
+        0,
+    )  # [B, NL] by sorted position
+
+    # Scatter depths back: sorted position -> seniority idx -> symbol.
+    by_rank = jnp.zeros((B, NL), jnp.int32).at[
+        b_ix[:, None], jnp.clip(leaf_idx, 0, 511)
+    ].set(leaf_depth, mode="drop")
+    lengths = jnp.where(
+        used, jnp.take_along_axis(by_rank, jnp.clip(rank, 0, NL - 1), axis=1), 0
+    )
+    # Degenerate single-symbol alphabet: one digit (tree.py:76-81).
+    lengths = jnp.where((k == 1)[:, None] & used, 1, lengths)
+    return lengths.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("arity",))
+def huffman_lengths_device(hists: jnp.ndarray, arity: int) -> jnp.ndarray:
+    """[B, 256] histograms -> [B, 256] capped canonical code lengths,
+    bit-identical to models.huffman.capped_lengths per block."""
+    cap = ARITY_MAX_LEN[arity]
+    f0 = hists.astype(jnp.int32)
+    l0 = _build_once(f0, arity)
+
+    def cond(carry):
+        f, lens = carry
+        return jnp.any(lens.max(axis=1) > cap)
+
+    def body(carry):
+        f, lens = carry
+        over = (lens.max(axis=1) > cap)[:, None]
+        f = jnp.where(over & (f > 0), (f + 1) // 2, f)
+        return f, _build_once(f, arity)
+
+    _, lengths = jax.lax.while_loop(cond, body, (f0, l0))
+    return lengths
+
+
+# ----------------------------------------------------------------------
+# On-device canonical code assignment + encode/decode table layouts
+# (device mirror of huffman/batched.py, same wire convention)
+# ----------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("arity",))
+def encode_tables_device(lengths: jnp.ndarray, arity: int):
+    """[B, 256] lengths -> (dense [B, R, 128] int32 Pallas lookup rows,
+    n_used [B] int32).  Mirrors batched.dense_rows."""
+    from data_compression_tpu.ops.encode_fast import BITS_PER_DIGIT
+    from data_compression_tpu.ops.pallas.encode_kernel import PACKED_LEN_SHIFT
+
+    L = ARITY_MAX_LEN[arity]
+    bpd = BITS_PER_DIGIT[arity]
+    B = lengths.shape[0]
+    lengths = lengths.astype(jnp.int32)
+    used = lengths > 0
+    n_used = used.sum(axis=1).astype(jnp.int32)
+
+    count = jnp.zeros((B, L + 1), jnp.int32)
+    for ln in range(1, L + 1):
+        count = count.at[:, ln].set((lengths == ln).sum(axis=1))
+    first_code = jnp.zeros((B, L + 1), jnp.int32)
+    for ln in range(1, L):
+        first_code = first_code.at[:, ln + 1].set(
+            (first_code[:, ln] + count[:, ln]) * arity
+        )
+    base_index = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32), jnp.cumsum(count[:, :-1], axis=1)],
+        axis=1,
+    )
+    # (length, symbol) order via one unique int32 key sort
+    sym = jnp.arange(S, dtype=jnp.int32)[None, :]
+    key = jnp.where(used, lengths * 512 + sym, INF)
+    order = jnp.argsort(key, axis=1).astype(jnp.int32)
+    ln_of = jnp.take_along_axis(lengths, order, axis=1)
+    gs = jnp.take_along_axis(base_index, jnp.clip(ln_of, 0, L), axis=1)
+    fc = jnp.take_along_axis(first_code, jnp.clip(ln_of, 0, L), axis=1)
+    pos = jnp.arange(S, dtype=jnp.int32)[None, :]
+    valid = pos < n_used[:, None]
+    codes_sorted = jnp.where(valid, fc + pos - gs, 0)
+    b_ix = jnp.arange(B, dtype=jnp.int32)[:, None]
+    codes = jnp.zeros((B, S), jnp.int32).at[b_ix, order].set(codes_sorted)
+
+    # field-packed code words (pack_encode_table convention)
+    pow_n = jnp.asarray(arity ** np.arange(L + 1, dtype=np.int64), jnp.int32)
+    packed = jnp.zeros((B, S), jnp.int32)
+    for m in range(L):
+        place = jnp.clip(lengths - 1 - m, 0, L)
+        digit = (codes // pow_n[place]) % arity
+        packed = packed | jnp.where(m < lengths, digit << (m * bpd), 0)
+    bits = lengths * bpd
+
+    sh = PACKED_LEN_SHIFT.get(arity)
+    packed = jnp.where(bits > 0, packed, 0)
+    if sh is not None:
+        dense = ((lengths << sh) | packed).reshape(B, 2, 128)
+    else:
+        dense = jnp.concatenate(
+            [packed.reshape(B, 2, 128), bits.reshape(B, 2, 128)], axis=1
+        )
+    return dense, n_used
+
+
+@functools.partial(jax.jit, static_argnames=("arity", "pad_to"))
+def decode_tables_device(lengths: jnp.ndarray, arity: int, pad_to: int):
+    """[B, 256] lengths -> scaled decode tables on device:
+    (limit_scaled [B, L+1] i32, base_minus_first [B, L+1] i32,
+    symbols [B, 256] i32).  Mirrors batched.decode_rows."""
+    L = pad_to
+    B = lengths.shape[0]
+    lengths = lengths.astype(jnp.int32)
+    used = lengths > 0
+    n_used = used.sum(axis=1).astype(jnp.int32)
+
+    count = jnp.zeros((B, L + 1), jnp.int32)
+    for ln in range(1, L + 1):
+        count = count.at[:, ln].set((lengths == ln).sum(axis=1))
+    first_code = jnp.zeros((B, L + 1), jnp.int32)
+    for ln in range(1, L):
+        first_code = first_code.at[:, ln + 1].set(
+            (first_code[:, ln] + count[:, ln]) * arity
+        )
+    base_index = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32), jnp.cumsum(count[:, :-1], axis=1)],
+        axis=1,
+    )
+    max_len = lengths.max(axis=1)
+    scale = jnp.asarray(
+        arity ** (L - np.arange(L + 1, dtype=np.int64)), jnp.int32
+    )
+    lvec = jnp.arange(L + 1, dtype=jnp.int32)[None, :]
+    ok = (lvec >= 1) & (lvec <= max_len[:, None])
+    limit = jnp.where(ok, (first_code + count) * scale[None, :], 0)
+    limit = jax.lax.associative_scan(jnp.maximum, limit, axis=1)
+    bmf = jnp.where(ok, base_index - first_code, 0)
+
+    sym = jnp.arange(S, dtype=jnp.int32)[None, :]
+    key = jnp.where(used, lengths * 512 + sym, INF)
+    order = jnp.argsort(key, axis=1).astype(jnp.int32)
+    pos = jnp.arange(S, dtype=jnp.int32)[None, :]
+    symbols = jnp.where(pos < n_used[:, None], order, 0)
+    return limit, bmf, symbols
