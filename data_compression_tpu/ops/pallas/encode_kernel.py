@@ -137,13 +137,115 @@ def _gather256(lo_row, hi_row, s):
     return jnp.where(s < 128, lo, hi)
 
 
+def _roll_lanes(x, k):
+    """Static lane-axis roll right by k (towards higher lane index)."""
+    k %= x.shape[1]
+    if k == 0:
+        return x
+    return jnp.concatenate([x[:, -k:], x[:, :-k]], axis=1)
+
+
+def _rows_down(x, k):
+    """Shift rows towards higher indices by k, zero-fill low rows."""
+    if k == 0:
+        return x
+    R = x.shape[0]
+    if k >= R:
+        return jnp.zeros_like(x)
+    return jnp.pad(x, [(k, 0), (0, 0)])[:R]
+
+
+def _rows_up(x, k):
+    """Shift rows towards lower indices by k, zero-fill high rows."""
+    if k == 0:
+        return x
+    R = x.shape[0]
+    if k >= R:
+        return jnp.zeros_like(x)
+    return jnp.pad(x, [(0, k), (0, 0)])[k:]
+
+
+def _word_down_static(y, Wf: int, k: int, rowi):
+    """out(w) = in(w + k) in the LANE-MAJOR composite layout (word w of
+    a group at (row w % Wf, base + w // Wf)): decompose k into kl lanes
+    + kr rows; group-crossing wrap is the caller's garbage region (it
+    masks past the merged length).  ``rowi`` is the row iota."""
+    kl, kr = k // Wf, k % Wf
+    if kr == 0:
+        return _roll_lanes(y, -kl)
+    v1 = _rows_up(_roll_lanes(y, -kl), kr)
+    v2 = _rows_down(_roll_lanes(y, -(kl + 1)), Wf - kr)
+    return jnp.where(rowi < Wf - kr, v1, v2)
+
+
+def _concat_stage(buf, blen, Wf: int, levels: int = 7):
+    """Cross-lane concatenation: 128 per-chunk byte-aligned bit buffers
+    (lane c = chunk c, words along rows) merge into ONE block-contiguous
+    buffer.  LANE-MAJOR composite layout: at group width G, word w of a
+    group lives at (row w % Wf, base + w // Wf) — level 0 is exactly
+    the per-chunk buffer, and an even node never moves when its group
+    doubles (no relayout, no strided slices: only lane rolls, row
+    shifts, and selects — all Mosaic-native).  The odd node's words
+    already sit at logical offset g*Wf, so they shift DOWN by
+    g*Wf - even_words (log2-decomposed static steps selected by the
+    per-group amount) plus the byte remainder; group-crossing roll
+    garbage lands strictly past the merged length and is masked each
+    level.  ``blen`` [1, 128]: byte-aligned bit count per lane
+    (multiples of 8; both n=2 and n=16 use 8 field bits per wire byte).
+    Returns (words [Wf, 128] int32 lane-major — i.e. payload word w at
+    (w % Wf, w // Wf) — and total_bits [1, 128] broadcast)."""
+    x = buf
+    L = blen
+    rowi = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    lanei = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    g = 1
+    while g < min(LANES, 1 << levels):
+        G2 = 2 * g
+        lane_in = lanei % G2
+        lo = lane_in < g
+        lL = jnp.where(lo[:1], L, _roll_lanes(L, g))  # even half's bits
+        lR = jnp.where(lo[:1], _roll_lanes(L, -g), L)  # odd half's bits
+        even = jnp.where(lo, x, 0)
+        y = jnp.where(lo, 0, x)
+        # shift odd down by g*Wf - even_words, then the bit remainder
+        wsh = jax.lax.shift_right_logical(lL, 5)
+        k = g * Wf - wsh
+        t = 0
+        while (1 << t) <= g * Wf:
+            moved = _word_down_static(y, Wf, 1 << t, rowi)
+            sel = (jax.lax.shift_right_logical(k, t) & 1) == 1
+            y = jnp.where(sel, moved, y)
+            t += 1
+        bsh = lL & 31
+        # prev word (logical w-1): row-down with a lane-carry wrap
+        prev = jnp.where(
+            rowi >= 1,
+            _rows_down(y, 1),
+            _rows_up(_roll_lanes(y, 1), Wf - 1),
+        )
+        carry = jnp.where(
+            bsh == 0, 0, jax.lax.shift_right_logical(prev, (32 - bsh) & 31)
+        )
+        y = jax.lax.shift_left(y, bsh) | carry
+        x = even | y
+        L = lL + lR
+        # group-crossing roll garbage sits past the merged length
+        widx = rowi + Wf * lane_in
+        x = jnp.where(widx < ((L + 31) >> 5), x, 0)
+        g = G2
+    return x, L
+
+
 def _make_kernel(arity: int, maxlen: int | None = None, stages: int = 3,
-                 C: int = CHUNK_SYMS):
+                 C: int = CHUNK_SYMS, compact: bool = False):
     """stages: profiling ablation — 1: table lookup only, 2: + merge
     tree, 3: full (+ wire-byte conversion).  Stages < 3 write truncated
     garbage to the byte output (consumed so Mosaic cannot DCE the
     measured work); only stage 3 is wire-correct.  ``C``: symbols per
-    chunk (= block_size / 128 lanes); any power of two works."""
+    chunk (= block_size / 128 lanes); any power of two works.
+    ``compact``: emit ONE block-contiguous payload (int32 composite
+    words) via the cross-lane concat stage instead of per-chunk rows
+    (n=2/16 only — n=3's trit repack is chunk-local)."""
     sched, Wf = _levels(arity, maxlen, C)
     bpd = BITS_PER_DIGIT[arity]
     D = ARITY_DIGITS_PER_BYTE[arity]
@@ -196,6 +298,26 @@ def _make_kernel(arity: int, maxlen: int | None = None, stages: int = 3,
             buf = jnp.pad(buf, [(0, Wf - buf.shape[0]), (0, 0)])
         if stages <= 2:  # ablation: lookup + merge, no wire conversion
             bytes_ref[0, :Wf, :] = (buf & 0xFF).astype(jnp.uint8)
+            nbytes_ref[0] = lens // bpd
+            return
+        if compact:
+            # Cross-lane concatenation: the block's chunks fuse into one
+            # contiguous payload IN VMEM (8 field bits = 1 wire byte for
+            # n=2 and n=16).  The lane-major concat result transposes
+            # once so the [128, Wf] int32 HBM rows ARE the block payload
+            # bytes in memory order; rows past the block's length are
+            # never written.
+            blen = ((lens + 7) >> 3) << 3  # byte-aligned bits per chunk
+            xw, Ltot = _concat_stage(buf, blen, Wf)
+            xt = jnp.transpose(xw)  # [128, Wf]: row q = words q*Wf..
+            maxbits = jnp.max(Ltot)
+            WT = 8
+            for gi in range(LANES // WT):
+                @pl.when(gi * WT * Wf * 32 < maxbits)
+                def _(gi=gi):
+                    bytes_ref[0, gi * WT:(gi + 1) * WT, :] = jax.lax.slice(
+                        xt, (gi * WT, 0), ((gi + 1) * WT, Wf)
+                    )
             nbytes_ref[0] = lens // bpd
             return
         # Wire-byte conversion in VMEM (was an 18 ms XLA pass).  Output
@@ -293,6 +415,52 @@ def _encode_pallas(
         interpret=interpret,
     )(dense, meta, syms_t)
     return byts, nbytes
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("arity", "interpret", "maxlen", "chunk_syms"),
+)
+def _encode_pallas_compact(
+    syms_t: jnp.ndarray,  # [B, C, 128] uint8/int32 (symbol-major)
+    dense: jnp.ndarray,  # [B, R, 128] int32 dense lookup rows
+    meta: jnp.ndarray,  # [B, 2] int32: used_count, raw_len
+    *,
+    arity: int,
+    interpret: bool = False,
+    maxlen: int | None = None,
+    chunk_syms: int = CHUNK_SYMS,
+):
+    """Block-compacting encode (n=2/16): -> (words [B, 128, Wf] int32 —
+    each block's CONTIGUOUS payload bytes in memory order (little-endian
+    words); rows past the block's length are UNINITIALIZED — and total
+    digits [B, 1, 128] per chunk, from which per-chunk wire byte counts
+    follow)."""
+    assert arity in (2, 16), "compact encode: 8 field bits per wire byte"
+    B = syms_t.shape[0]
+    kernel, Wf, MB = _make_kernel(arity, maxlen, 3, chunk_syms, compact=True)
+    C = chunk_syms
+    R = dense.shape[1]
+    meta = meta[:, None, :]
+    words, nbytes = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, R, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 2), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, C, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, LANES, Wf), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, LANES, Wf), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, LANES), jnp.int32),
+        ],
+        interpret=interpret,
+    )(dense, meta, syms_t)
+    return words, nbytes
 
 
 def prep_tables(

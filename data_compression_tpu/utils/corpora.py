@@ -64,6 +64,29 @@ def synthetic_english(nbytes: int, seed: int = 0) -> bytes:
     return (text * reps)[:nbytes]
 
 
+def repo_source_corpus(nbytes: Optional[int] = None) -> bytes:
+    """Real, checked-in corpus: this repository's own source text —
+    the reference Makefile's trick of benchmarking on its own source
+    (TEST_FILE_IN := n_ary_huffman.c, Makefile:15), scaled up.
+    Deterministic: files concatenated in sorted path order, repeated to
+    ``nbytes`` when requested."""
+    pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    root = os.path.dirname(pkg)
+    parts = []
+    for base in (pkg, os.path.join(root, "tests"), os.path.join(root, "tools")):
+        for dirpath, dirnames, filenames in sorted(os.walk(base)):
+            dirnames.sort()
+            for fn in sorted(filenames):
+                if fn.endswith((".py", ".c", ".md")):
+                    with open(os.path.join(dirpath, fn), "rb") as f:
+                        parts.append(f.read())
+    data = b"\n".join(parts)
+    if not nbytes:
+        return data
+    reps = -(-nbytes // max(1, len(data)))
+    return (data * reps)[:nbytes]
+
+
 def mixed_corpus(nbytes: int, seed: int = 0) -> bytes:
     """Text+binary mix (the multi-host config in BASELINE.json)."""
     rng = np.random.default_rng(seed)

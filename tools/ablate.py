@@ -22,9 +22,54 @@ sys.path.insert(0, REPO)
 from bench import make_corpus, measure_envelope, time_chain  # noqa: E402
 
 
+def smoke() -> int:
+    """CPU-safe signature check: run both fused kernels once in
+    interpret mode on one tiny block and print JSON — so API drift in
+    the kernel entry points fails tests/test_bench_smoke.py instead of
+    shipping a broken profiler (VERDICT r3 weak #7)."""
+    import jax.numpy as jnp
+
+    from data_compression_tpu import framing
+    from data_compression_tpu.huffman import batched as hb
+    from data_compression_tpu.ops.pallas import decode_kernel as dk
+    from data_compression_tpu.ops.pallas.encode_kernel import (
+        LANES,
+        encode_blocks_pallas,
+    )
+
+    S = 16384  # chunk_syms = 128: smallest pallas geometry
+    data = make_corpus(S + S // 2)
+    blocks, lengths = framing.split_blocks(data, S)
+    B = blocks.shape[0]
+    hists = np.stack(
+        [np.bincount(blocks[i, : lengths[i]], minlength=256) for i in range(B)]
+    ).astype(np.int64)
+    tb = hb.codes_batch(hb.capped_lengths_batch(hists, 2), 2)
+    tables = [tb.table(i) for i in range(B)]
+    out, nb, _ = encode_blocks_pallas(
+        jnp.asarray(blocks), lengths, tables, 2, interpret=True
+    )
+    out, nb = np.asarray(out), np.asarray(nb)
+    payloads = [
+        [out[b * LANES + c, : nb[b * LANES + c]].tobytes() for c in range(LANES)]
+        for b in range(B)
+    ]
+    back = dk.decode_blocks_pallas(
+        payloads, [int(x) for x in lengths], tables, interpret=True,
+        chunk_syms=S // LANES,
+    )
+    ok = b"".join(back) == data
+    print(json.dumps({"smoke": True, "roundtrip_ok": bool(ok),
+                      "blocks": int(B)}))
+    return 0 if ok else 1
+
+
 def main() -> int:
     import jax
     import jax.numpy as jnp
+
+    if "--smoke" in sys.argv[1:]:
+        return smoke()
 
     from data_compression_tpu import framing
     from data_compression_tpu.config import ARITY_MAX_LEN
