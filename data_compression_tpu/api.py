@@ -31,12 +31,19 @@ def compress(
     data: BytesLike,
     config: Optional[CodecConfig] = None,
     meta: Optional[bytes] = None,
+    printable: bool = False,
 ) -> bytes:
     """Compress a byte stream into a framed container.
 
     ``meta`` attaches an annotation block decoders skip — the
     reference's '#' meta netstring (n_ary_huffman.c:2058, design note
-    :75-78): raw_len 0, crc of the annotation bytes themselves."""
+    :75-78): raw_len 0, crc of the annotation bytes themselves.
+
+    ``printable=True`` emits the in-band printable container — the
+    reference's reserved-but-unimplemented '_' mode
+    (small_compression.c:35-40): every block payload is an independent
+    Z85 span, so the whole stream is isprint text and blocks stay
+    independently locatable (framing.frame_to_printable)."""
     config = config or CodecConfig()
     raw = _as_bytes(data)
     blocks, lengths = framing.split_blocks(raw, config.block_size)
@@ -67,7 +74,7 @@ def compress(
     chunk_log2 = (
         config.chunk_syms.bit_length() - 1 if config.codec == "huffman" else 0
     )
-    return framing.pack_frame(
+    frame = framing.pack_frame(
         codec_id=config.codec_id,
         arity=config.arity,
         block_size=config.block_size,
@@ -79,12 +86,17 @@ def compress(
         shared_table=result.shared_table,
         chunk_log2=chunk_log2,
     )
+    return framing.frame_to_printable(frame) if printable else frame
 
 
 def decompress(data: BytesLike, config: Optional[CodecConfig] = None) -> bytes:
-    """Decompress a framed container. ``config`` may override runtime
-    execution knobs (use_device); format parameters come from the frame."""
-    frame = framing.unpack_frame(_as_bytes(data))
+    """Decompress a framed container (binary or in-band printable —
+    auto-detected by magic). ``config`` may override runtime execution
+    knobs (use_device); format parameters come from the frame."""
+    raw = _as_bytes(data)
+    if raw.startswith(framing.PRINTABLE_MAGIC):
+        raw = framing.printable_to_frame(raw)
+    frame = framing.unpack_frame(raw)
     chunk_syms = frame.chunk_syms or min(4096, frame.block_size)
     cfg = CodecConfig(
         codec=frame.codec_name,

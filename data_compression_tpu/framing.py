@@ -178,6 +178,94 @@ def unpack_frame(data: bytes) -> Frame:
     )
 
 
+# ----------------------------------------------------------------------
+# In-band printable container: the reference reserves a
+# COMPRESSED_TEXT_IS_PRINTABLE ('_') block mode it never implements
+# (small_compression.c:35-40).  Realized here at BLOCK granularity: the
+# header, the metadata region, and EVERY block payload are armored as
+# independent Z85 spans whose lengths are computable from the (armored)
+# block table — so the whole stream is printable text AND any single
+# block remains independently locatable/decodable, preserving the
+# parallel-decode property of the binary container.
+# ----------------------------------------------------------------------
+
+PRINTABLE_MAGIC = b"DCTP1\n"
+
+
+def frame_to_printable(frame: bytes) -> bytes:
+    """Binary frame -> all-isprint container (Z85 spans + newlines)."""
+    from data_compression_tpu.utils.base64url import z85_core
+
+    f = unpack_frame(frame)  # validates header CRC + structure
+    head = frame[: _HEADER.size]
+    off = _HEADER.size
+    meta_len = 0
+    if f.flags & FLAG_SHARED_TABLE:
+        meta_len += 4 + len(f.shared_table)
+    meta_len += len(f.entries) * _ENTRY.size
+    meta = frame[off : off + meta_len]
+    parts = [
+        PRINTABLE_MAGIC.decode(),
+        z85_core(head),
+        "\n",
+        z85_core(meta),
+        "\n",
+    ]
+    parts.extend(z85_core(p) for p in f.payloads)
+    parts.append("\n")
+    return "".join(parts).encode("ascii")
+
+
+def printable_to_frame(data: bytes) -> bytes:
+    """Inverse of frame_to_printable -> the exact binary frame bytes."""
+    from data_compression_tpu.utils.base64url import (
+        z85_core_decode,
+        z85_core_len,
+    )
+
+    if not data.startswith(PRINTABLE_MAGIC):
+        raise ValueError("not a printable container")
+    text = data[len(PRINTABLE_MAGIC) :].decode("ascii", errors="strict")
+    hl = z85_core_len(_HEADER.size)
+    if len(text) < hl + 1 or text[hl] != "\n":
+        raise ValueError("truncated printable container (header)")
+    head = z85_core_decode(text[:hl], _HEADER.size)
+    (magic, ver, flags, _c, _a, _b, nblocks, _t, _cl, hcrc) = _HEADER.unpack(
+        head
+    )
+    if magic != MAGIC or ver != VERSION:
+        raise ValueError("bad printable header")
+    if crc32(head[:-4]) != hcrc:
+        raise ValueError("header CRC mismatch")
+    pos = hl + 1
+    meta_len = nblocks * _ENTRY.size
+    if flags & FLAG_SHARED_TABLE:
+        # shared-table length rides in the meta region itself: decode
+        # its first armored group to learn tlen
+        first = z85_core_decode(
+            text[pos : pos + z85_core_len(4)][: z85_core_len(4)], 4
+        )
+        (tlen,) = struct.unpack("<I", first)
+        meta_len += 4 + tlen
+    ml = z85_core_len(meta_len)
+    if len(text) < pos + ml + 1 or text[pos + ml] != "\n":
+        raise ValueError("truncated printable container (meta)")
+    meta = z85_core_decode(text[pos : pos + ml], meta_len)
+    pos += ml + 1
+    comp_lens = [
+        _ENTRY.unpack_from(meta, meta_len - nblocks * _ENTRY.size + k * _ENTRY.size)[0]
+        for k in range(nblocks)
+    ]
+    payloads = []
+    for cl in comp_lens:
+        pl = z85_core_len(cl)
+        if len(text) < pos + pl:
+            raise ValueError("truncated printable container (payload)")
+        payloads.append(z85_core_decode(text[pos : pos + pl], cl))
+        pos += pl
+    return head + meta + b"".join(payloads)
+
+
 def read_frame(stream) -> Optional[bytes]:
     """Read exactly one complete frame from a binary file object, or
     None at a clean EOF.  Streamed containers are a concatenation of

@@ -73,8 +73,12 @@ def _mtf_update(table: list, ctx: int, byte: int) -> None:
             break
 
 
-def encode_host(src: bytes, modify: bool = True) -> bytes:
-    """Reference-exact encoder (compress_bytestring minus the fallback)."""
+def encode_host(src: bytes, modify: bool = True, stats=None) -> bytes:
+    """Reference-exact encoder (compress_bytestring minus the fallback).
+
+    ``stats``: optional utils.debug.CodecStats — records per-context
+    prediction hits vs literals (the reference's times_used_directly
+    counters, nybble_compression.c:543)."""
     out = bytearray([NYBBLES_TYPE])
     if not src:
         return bytes(out)
@@ -92,6 +96,8 @@ def encode_host(src: bytes, modify: bool = True) -> bytes:
             pos = row.index(s)
         except ValueError:
             pos = -1
+        if stats is not None:
+            stats.hit(ctx) if pos >= 0 else stats.literal()
         if pos >= 0:
             nyb = 0x8 | pos
             if pending < 0:

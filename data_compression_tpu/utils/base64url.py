@@ -108,6 +108,42 @@ _Z85_DECODE = {c: i for i, c in enumerate(_Z85)}
 _Z85_MAGIC = "DCZ"
 
 
+def z85_core(data: bytes) -> str:
+    """Raw Z85 body (no frame lines): ceil(len/4)*5 chars — the
+    deterministic length makes per-block armored spans computable from
+    the binary block table (framing.frame_to_printable)."""
+    pad = (-len(data)) % 4
+    buf = data + b"\x00" * pad
+    digits = []
+    for i in range(0, len(buf), 4):
+        v = int.from_bytes(buf[i : i + 4], "big")
+        for p in (85**4, 85**3, 85**2, 85, 1):
+            digits.append(_Z85[(v // p) % 85])
+    return "".join(digits)
+
+
+def z85_core_len(nbytes: int) -> int:
+    return -(-nbytes // 4) * 5
+
+
+def z85_core_decode(text: str, nbytes: int) -> bytes:
+    """Inverse of z85_core: decode exactly nbytes from its armored span."""
+    if len(text) != z85_core_len(nbytes):
+        raise ValueError("bad z85 span length")
+    out = bytearray()
+    try:
+        for i in range(0, len(text), 5):
+            v = 0
+            for c in text[i : i + 5]:
+                v = v * 85 + _Z85_DECODE[c]
+            if v > 0xFFFFFFFF:
+                raise ValueError("z85 group overflow")
+            out.extend(v.to_bytes(4, "big"))
+    except KeyError as e:
+        raise ValueError(f"bad z85 digit {e}") from None
+    return bytes(out[:nbytes])
+
+
 def z85_armor(data: bytes) -> str:
     """Encode bytes as Z85 text (frame: 'DCZ:<len>\\n' body '\\n~\\n')."""
     pad = (-len(data)) % 4
