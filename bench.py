@@ -214,7 +214,7 @@ def bench_huffman_encode(data: bytes, arity: int):
     return len(data) / best / 1e9, comp / len(data)
 
 
-def bench_huffman2_decode(data: bytes):
+def bench_huffman_decode(data: bytes, arity: int = 2):
     import jax
 
     from data_compression_tpu.ops.pallas import decode_kernel as dk
@@ -224,10 +224,10 @@ def bench_huffman2_decode(data: bytes):
     )
     import jax.numpy as jnp
 
-    blocks, lengths, tables, _, _, _, _ = _prep_huffman(data, 2)
+    blocks, lengths, tables, _, _, _, _ = _prep_huffman(data, arity)
     B = blocks.shape[0]
     out0, nb_chunks, _ = encode_blocks_pallas(
-        jnp.asarray(blocks), lengths, tables, 2
+        jnp.asarray(blocks), lengths, tables, arity
     )
     packed_np, nb_np = np.asarray(out0), np.asarray(nb_chunks)
     payloads = [
@@ -237,11 +237,13 @@ def bench_huffman2_decode(data: bytes):
         ]
         for b in range(B)
     ]
-    payload_t, dl, db, dsym, dmeta = dk.prep_decode_inputs(payloads, tables)
+    payload_t, dl, db, dsym, dmeta = dk.prep_decode_inputs(
+        payloads, tables, arity=arity
+    )
 
     @jax.jit
     def decode_step(p, dl, db, dsym, dmeta):
-        out = dk._decode_pallas(p, dl, db, dsym, dmeta)  # [NC, 8C, 128]
+        out = dk._decode_pallas(p, dl, db, dsym, dmeta, arity=arity)
         mix = jnp.tile(out, (1, p.shape[1] // out.shape[1] + 1, 1))[
             :, : p.shape[1], :
         ]
@@ -441,7 +443,7 @@ def main() -> int:
     }
 
     if arity == 2:
-        detail["decode_device_gbps"] = round(bench_huffman2_decode(data), 3)
+        detail["decode_device_gbps"] = round(bench_huffman_decode(data, 2), 3)
         try:
             detail["e2e_device_gbps"] = round(bench_e2e_device(data), 3)
         except Exception as e:  # pragma: no cover
@@ -451,6 +453,12 @@ def main() -> int:
             g, r = bench_huffman_encode(small, a)
             detail[f"huffman{a}_encode_gbps"] = round(g, 3)
             detail[f"huffman{a}_ratio"] = round(r, 4)
+        try:
+            detail["huffman16_decode_gbps"] = round(
+                bench_huffman_decode(small, 16), 3
+            )
+        except Exception as e:  # pragma: no cover
+            detail["huffman16_decode_gbps"] = f"error: {e}"
         detail.update(bench_serial_host())
         scan = make_corpus(SCAN_MB * 1024 * 1024, seed=2)
         try:

@@ -224,6 +224,7 @@ def _decode_fn(arity: int, chunk_syms: int, interpret: bool = False):
             syms.reshape(NC, 2 * G8, LANES).astype(jnp.int32),
             meta,
             chunk_syms=chunk_syms,
+            arity=arity,
             interpret=interpret,
         )
 

@@ -681,12 +681,15 @@ class HuffmanCodec(Codec):
         )
         tb = hb.tables_from_bytes(rows, arity)
 
-        from data_compression_tpu.ops.pallas.decode_kernel import LANES
+        from data_compression_tpu.ops.pallas.decode_kernel import (
+            DEC_ARITIES,
+            LANES,
+        )
 
         lane_c = S // LANES
         pallas_ok = (
             jax.default_backend() == "tpu"
-            and arity == 2
+            and arity in DEC_ARITIES
             and S % LANES == 0
             and C == lane_c
             and C >= 128
@@ -696,8 +699,8 @@ class HuffmanCodec(Codec):
             reasons = []
             if jax.default_backend() != "tpu":
                 reasons.append("backend is not tpu")
-            if arity != 2:
-                reasons.append(f"arity {arity} != 2")
+            if arity not in DEC_ARITIES:
+                reasons.append(f"arity {arity} not in {DEC_ARITIES}")
             if S % LANES or C != lane_c:
                 reasons.append(f"chunk_syms {C} != block_size/128 ({S}/{LANES})")
             if C < 128 or C & (C - 1):
@@ -711,12 +714,14 @@ class HuffmanCodec(Codec):
         from data_compression_tpu.huffman import batched as hb
         from data_compression_tpu.ops.pallas import decode_kernel as dk
 
+        arity = self.config.arity
         C = self.config.chunk_syms
         B = nb.shape[0]
-        _, _, mbp, _, _ = dk._geom(C)
+        _, _, mbp, _, _ = dk._geom(C, arity)
         if int(nb.max(initial=0)) > mbp:
             raise ValueError("huffman chunk payload too large")
-        G8, LANES, L, SEG = dk.G8, dk.LANES, dk.L, dk.SEG
+        _, _, dpb, L = dk._adim(arity)
+        G8, LANES, SEG = dk.G8, dk.LANES, dk.SEG
         NC = -(-B // G8)
         BP = NC * G8
 
@@ -736,7 +741,7 @@ class HuffmanCodec(Codec):
         )
         nb_cell = nb_full.reshape(NC, G8 * LANES).max(axis=1)
         meta = np.zeros((NC, 1, 2), np.int32)
-        meta[:, 0, 0] = np.maximum(1, -(-(nb_cell * 8) // SEG))
+        meta[:, 0, 0] = np.maximum(1, -(-(nb_cell * dpb) // SEG))
 
         dr = hb.decode_rows(tb, L)
         limit = np.zeros((BP, L + 1), np.int64)
@@ -753,6 +758,7 @@ class HuffmanCodec(Codec):
             to_device(syms.reshape(NC, 2 * G8, LANES)),
             to_device(meta),
             chunk_syms=C,
+            arity=arity,
         )
         arr = from_device(out).reshape(-1, C, LANES).transpose(0, 2, 1)
         return [

@@ -1,4 +1,4 @@
-"""Pallas TPU kernel: fused digit-parallel Huffman decode (n = 2).
+"""Pallas TPU kernel: fused digit-parallel Huffman decode (n = 2, 16).
 
 Eight 64 KiB blocks per grid cell in a DIGIT-MAJOR layout: every array
 row group (digit j, block b) keeps the serial boundary walk's state at
@@ -63,28 +63,40 @@ from data_compression_tpu.ops.pallas.encode_kernel import (
     _mshl,
 )
 
-ARITY = 2
-L = ARITY_MAX_LEN[2]  # 15
 C = CHUNK_SYMS  # default chunk symbols (512 = 64 KiB blocks)
-SEG = 512  # digits per segment (= 64 payload bytes)
+SEG = 512  # digits per segment
 G8 = 8  # blocks per grid cell
 WALK_BLK = 8  # digit steps per walk loop iteration
 
 SUB = 256  # digits per stage-1/3 sub-segment (bounds live temporaries)
-WPS = SEG // 32  # packed words per segment per block (16)
+
+# Per-arity digit geometry: bits per digit field in the packed words,
+# digits per 32-bit word, digits per wire byte, max code length.
+DEC_ARITIES = (2, 16)
 
 
-def _geom(C: int):
+def _adim(arity: int):
+    bpdbits = {2: 1, 16: 4}[arity]
+    dpw = 32 // bpdbits  # digits per packed word
+    from data_compression_tpu.config import ARITY_DIGITS_PER_BYTE
+
+    dpb = ARITY_DIGITS_PER_BYTE[arity]  # digits per wire byte (8 / 2)
+    L = ARITY_MAX_LEN[arity]  # 15 / 7
+    return bpdbits, dpw, dpb, L
+
+
+def _geom(C: int, arity: int = 2):
     """Chunk-size-dependent geometry: a block is always 128 lane-chunks
     of C = block_size/128 symbols.  Returns (cap, capp, mbp, seg_wf,
     pw): digit capacity, capacity padded to whole segments, padded
-    payload bytes per chunk, per-block output words, packed 32-digit
-    words per block at capacity."""
-    cap = _cap_digits(C, ARITY)
+    payload bytes per chunk, per-block output words, packed words per
+    block at capacity."""
+    _, dpw, dpb, _ = _adim(arity)
+    cap = _cap_digits(C, arity)
     capp = -(-cap // SEG) * SEG
-    mbp = capp // 8
+    mbp = capp // dpb
     seg_wf = C * 8 // 32
-    pw = mbp // 4
+    pw = capp // dpw
     return cap, capp, mbp, seg_wf, pw
 
 
@@ -124,12 +136,24 @@ def _bitrev32(x):
     return sr(x, 16) | (x << 16)
 
 
-def _fill_reversed_words(payload_ref, words_ref, nseg):
-    """Pack payload bytes (LSB-first digits) into bit-reversed 32-digit
-    words: digit j of block b lands at bit 31-(j%32) of word row
-    (j/32)*G8 + b.  Only the segments the pipeline will walk are
+def _digitrev32(x, arity: int):
+    """Reverse the order of the DIGIT fields of each int32: full bit
+    reverse for n=2, nybble-group reverse for n=16 (3-round SWAR)."""
+    if arity == 2:
+        return _bitrev32(x)
+    sr = jax.lax.shift_right_logical
+    x = sr(x & _i32(0xF0F0F0F0), 4) | ((x & 0x0F0F0F0F) << 4)
+    x = sr(x & _i32(0xFF00FF00), 8) | ((x & 0x00FF00FF) << 8)
+    return sr(x, 16) | (x << 16)
+
+
+def _fill_reversed_words(payload_ref, words_ref, nseg, arity: int):
+    """Pack payload bytes (LSB-first digits) into digit-reversed packed
+    words: digit j of block b lands at field (DPW-1)-(j%DPW) of word row
+    (j/DPW)*G8 + b.  Only the segments the pipeline will walk are
     packed (``nseg`` from SMEM); one trailing zero word group serves
     the funnel shift's hi-word read at the last positions."""
+    WPS = SEG // _adim(arity)[1]
 
     def fill(g, _):
         rows = payload_ref[pl.ds(g * WPS * 4 * G8, WPS * 4 * G8), :].astype(
@@ -137,54 +161,59 @@ def _fill_reversed_words(payload_ref, words_ref, nseg):
         )
         r4 = rows.reshape(WPS, 4, G8, LANES)
         w = r4[:, 0] | (r4[:, 1] << 8) | (r4[:, 2] << 16) | (r4[:, 3] << 24)
-        words_ref[pl.ds(g * WPS * G8, WPS * G8), :] = _bitrev32(w).reshape(
-            WPS * G8, LANES
-        )
+        words_ref[pl.ds(g * WPS * G8, WPS * G8), :] = _digitrev32(
+            w, arity
+        ).reshape(WPS * G8, LANES)
         return 0
 
     jax.lax.fori_loop(0, nseg, fill, 0)
     words_ref[pl.ds(nseg * WPS * G8, G8), :] = jnp.zeros((G8, LANES), jnp.int32)
 
 
-def _windows_for_subseg(words_ref, h):
-    """Sliding 15-digit window values W(j) for digits h*SUB..h*SUB+SUB-1
-    via a funnel shift over the bit-reversed words: ~6 ops/digit.
+def _windows_for_subseg(words_ref, h, arity: int):
+    """Sliding L-digit window values W(j) for digits h*SUB..h*SUB+SUB-1
+    via a funnel shift over the digit-reversed words: ~6 ops/digit.
     Returns [SUB, G8, LANES] int32."""
-    w0 = h * (SUB // 32)
-    rows = words_ref[pl.ds(w0 * G8, (SUB // 32 + 1) * G8), :]
-    r3 = rows.reshape(SUB // 32 + 1, 1, G8, LANES)
-    shape = (SUB // 32, 32, G8, LANES)
-    lo = jnp.broadcast_to(r3[: SUB // 32], shape)
+    bpdbits, dpw, _, L = _adim(arity)
+    wps = SUB // dpw
+    w0 = h * wps
+    rows = words_ref[pl.ds(w0 * G8, (wps + 1) * G8), :]
+    r3 = rows.reshape(wps + 1, 1, G8, LANES)
+    shape = (wps, dpw, G8, LANES)
+    lo = jnp.broadcast_to(r3[:wps], shape)
     hi = jnp.broadcast_to(r3[1:], shape)
-    p = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    p = jax.lax.broadcasted_iota(jnp.int32, shape, 1) * bpdbits
     c = jax.lax.shift_left(lo, p) | jnp.where(
         p == 0, 0, jax.lax.shift_right_logical(hi, (32 - p) & 31)
     )
-    return jax.lax.shift_right_logical(c, 32 - L).reshape(SUB, G8, LANES)
+    return jax.lax.shift_right_logical(c, 32 - bpdbits * L).reshape(
+        SUB, G8, LANES
+    )
 
 
-def _make_kernel(stages: int = 4, C: int = CHUNK_SYMS):
+def _make_kernel(stages: int = 4, C: int = CHUNK_SYMS, arity: int = 2):
     """stages: profiling ablation — 1: window/length/rank only,
     2: + boundary walk, 3: + compaction, 4: full (rank->symbol)."""
 
     def kernel(limit_ref, bmf_ref, syms_ref, meta_ref, payload_ref, out_ref,
                packed_ref, accw_ref, accb_ref, words_ref):
-        _kernel_body(stages, C, limit_ref, bmf_ref, syms_ref, meta_ref,
+        _kernel_body(stages, C, arity, limit_ref, bmf_ref, syms_ref, meta_ref,
                      payload_ref, out_ref, packed_ref, accw_ref, accb_ref,
                      words_ref)
 
     return kernel
 
 
-def _kernel_body(stages, C, limit_ref, bmf_ref, syms_ref, meta_ref,
+def _kernel_body(stages, C, arity, limit_ref, bmf_ref, syms_ref, meta_ref,
                  payload_ref, out_ref, packed_ref, accw_ref, accb_ref,
                  words_ref):
-    _, _, _, seg_wf, _ = _geom(C)
+    bpdbits, _, _, L = _adim(arity)
+    _, _, _, seg_wf, _ = _geom(C, arity)
     pay_ref = payload_ref.at[0]  # [mbp*8, 128] rows (byte, block)
     nseg = meta_ref[0, 0, 0]  # segments this cell actually needs
 
-    # stage 0: bit-reversed packed words for the walked region only
-    _fill_reversed_words(pay_ref, words_ref, nseg)
+    # stage 0: digit-reversed packed words for the walked region only
+    _fill_reversed_words(pay_ref, words_ref, nseg, arity)
 
     # per-block table columns, lane-broadcast once: [8, 128] each
     lim8 = [None] * (L + 1)
@@ -201,7 +230,7 @@ def _kernel_body(stages, C, limit_ref, bmf_ref, syms_ref, meta_ref,
         # stages 1-3: fill the segment's packed scratch
         for h4 in range(SEG // SUB):
             h = sg * (SEG // SUB) + h4
-            W3 = _windows_for_subseg(words_ref, h)  # [SUB, G8, LANES]
+            W3 = _windows_for_subseg(words_ref, h, arity)  # [SUB, G8, LANES]
             ln = jnp.ones((SUB, G8, LANES), jnp.int32)
             for l in range(1, L):
                 ln = ln + (W3 >= lim8[l]).astype(jnp.int32)
@@ -216,7 +245,7 @@ def _kernel_body(stages, C, limit_ref, bmf_ref, syms_ref, meta_ref,
                     ln_b, axis=1,
                 )
                 rank = bmf_g + jax.lax.shift_right_logical(
-                    W3[:, b, :], L - ln_b
+                    W3[:, b, :], bpdbits * (L - ln_b)
                 )
                 cols.append(((ln_b - 1) << 9) | ((rank & 0xFF) + 1))
             packed = jnp.stack(cols, axis=1)  # [SUB, G8, LANES]
@@ -320,10 +349,10 @@ def _kernel_body(stages, C, limit_ref, bmf_ref, syms_ref, meta_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("interpret", "stages", "chunk_syms")
+    jax.jit, static_argnames=("interpret", "stages", "chunk_syms", "arity")
 )
 def _decode_pallas(payload_t, limit, bmf, syms, meta, *, interpret=False,
-                   stages=4, chunk_syms=CHUNK_SYMS):
+                   stages=4, chunk_syms=CHUNK_SYMS, arity=2):
     """payload_t: [NC, mbp*8, 128] uint8, rows (byte, block-in-group);
     limit: [NC, 8, L+1] int32; bmf: [NC, 8, 128] int32 (lane l of row b
     holds base_minus_first[b][l]); syms: [NC, 16, 128] int32 (rows
@@ -332,9 +361,10 @@ def _decode_pallas(payload_t, limit, bmf, syms, meta, *, interpret=False,
     Returns [NC, 8*C, 128] uint8 rows (block-in-group, symbol)."""
     NC = payload_t.shape[0]
     Cc = chunk_syms
-    _, _, mbp, seg_wf, pw = _geom(Cc)
+    L = _adim(arity)[3]
+    _, _, mbp, seg_wf, pw = _geom(Cc, arity)
     return pl.pallas_call(
-        _make_kernel(stages, Cc),
+        _make_kernel(stages, Cc, arity),
         grid=(NC,),
         in_specs=[
             pl.BlockSpec((1, G8, L + 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -360,12 +390,14 @@ def _decode_pallas(payload_t, limit, bmf, syms, meta, *, interpret=False,
     )(limit, bmf, syms, meta, payload_t)
 
 
-def prep_decode_inputs(payloads_by_block, tables, chunk_syms=CHUNK_SYMS):
+def prep_decode_inputs(payloads_by_block, tables, chunk_syms=CHUNK_SYMS,
+                       arity: int = 2):
     """Host packing: ragged chunk payloads + per-block tables -> the
     kernel's cell-grouped device arrays (payload_t, limit, bmf, syms,
     meta).  Blocks pad to a multiple of 8 with empty cells; meta[c,0,0]
     is cell c's segment count from its longest chunk payload."""
-    _, _, mbp, _, _ = _geom(chunk_syms)
+    _, _, dpb, L = _adim(arity)
+    _, _, mbp, _, _ = _geom(chunk_syms, arity)
     B = len(payloads_by_block)
     NC = -(-B // G8)  # grid cells; tail cell padded with empty blocks
     BP = NC * G8
@@ -391,7 +423,7 @@ def prep_decode_inputs(payloads_by_block, tables, chunk_syms=CHUNK_SYMS):
     # trailing zero word group always exists for the funnel lookahead
     nb_cell = nb.reshape(NC, G8 * LANES).max(axis=1)
     meta = np.zeros((NC, 1, 2), np.int32)
-    meta[:, 0, 0] = np.maximum(1, -(-(nb_cell * 8) // SEG))
+    meta[:, 0, 0] = np.maximum(1, -(-(nb_cell * dpb) // SEG))
 
     limit = np.zeros((NC, G8, L + 1), np.int32)
     bmf = np.zeros((NC, G8, LANES), np.int32)  # lane l = bmf[b][l]
@@ -421,12 +453,15 @@ def decode_blocks_pallas(
     tables,
     interpret: bool = False,
     chunk_syms: int = CHUNK_SYMS,
+    arity: int = 2,
 ):
-    """-> list of per-block decoded bytes (n=2; any power-of-two block
-    of >= 128-symbol lane chunks, chunk_syms = block_size / 128)."""
+    """-> list of per-block decoded bytes (n in DEC_ARITIES; any
+    power-of-two block of >= 128-symbol lane chunks, chunk_syms =
+    block_size / 128)."""
     B = len(payloads_by_block)
-    args = prep_decode_inputs(payloads_by_block, tables, chunk_syms)
-    out = _decode_pallas(*args, interpret=interpret, chunk_syms=chunk_syms)
+    args = prep_decode_inputs(payloads_by_block, tables, chunk_syms, arity)
+    out = _decode_pallas(*args, interpret=interpret, chunk_syms=chunk_syms,
+                         arity=arity)
     # [NC, 8*C, 128] rows (block, symbol) -> per-block chunk-major bytes
     out = np.asarray(out).reshape(-1, chunk_syms, LANES).transpose(0, 2, 1)
     return [

@@ -434,16 +434,30 @@ def measure_encode_throughput(config, nbytes: int, iters: int = 4) -> dict:
     enc_step = jax.jit(
         enc_fn, in_shardings=(dp, rep, rep, rep), out_shardings=rep
     )
+    # compute-only variant: output stays data-sharded, so the timing
+    # difference vs enc_step isolates the final all-gather (the
+    # collective share of the step)
+    dp1 = NamedSharding(mesh, P("data"))  # rank-1: per-chunk byte counts
+    enc_local = jax.jit(
+        enc_fn, in_shardings=(dp, rep, rep, rep), out_shardings=dp1
+    )
     jax.block_until_ready(enc_step(blocks_g, lengths_g, ptab, btab))  # compile
+    jax.block_until_ready(enc_local(blocks_g, lengths_g, ptab, btab))
     best = float("inf")
+    best_local = float("inf")
     for _ in range(iters):
         t0 = time.perf_counter()
         jax.block_until_ready(enc_step(blocks_g, lengths_g, ptab, btab))
         best = min(best, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        jax.block_until_ready(enc_local(blocks_g, lengths_g, ptab, btab))
+        best_local = min(best_local, time.perf_counter() - t0)
     return {
         "bytes": nbytes,
         "best_s": best,
         "bytes_per_s": nbytes / best,
+        "compute_s": best_local,
+        "collective_s": max(0.0, best - best_local),
         "processes": nproc,
         "devices": ndev,
     }

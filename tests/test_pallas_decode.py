@@ -8,7 +8,7 @@ from data_compression_tpu.models.huffman import capped_lengths, encode_chunk_np
 from tests.conftest import ascii_text
 
 
-def _roundtrip(rng, C, raw_lens):
+def _roundtrip(rng, C, raw_lens, arity=2):
     from data_compression_tpu.ops.pallas.decode_kernel import (
         LANES,
         decode_blocks_pallas,
@@ -24,7 +24,7 @@ def _roundtrip(rng, C, raw_lens):
     chunks_by_block = []
     for b in range(B):
         freqs = np.bincount(data[b, : raw_lens[b]], minlength=256)
-        t = lengths_to_codes(capped_lengths(freqs, 2), 2)
+        t = lengths_to_codes(capped_lengths(freqs, arity), arity)
         tables.append(t)
         chunks = []
         nc = max(1, -(-raw_lens[b] // C))
@@ -34,7 +34,8 @@ def _roundtrip(rng, C, raw_lens):
         chunks_by_block.append(chunks)
 
     out = decode_blocks_pallas(
-        chunks_by_block, raw_lens, tables, interpret=True, chunk_syms=C
+        chunks_by_block, raw_lens, tables, interpret=True, chunk_syms=C,
+        arity=arity,
     )
     for b in range(B):
         assert out[b] == data[b, : raw_lens[b]].tobytes(), f"block {b}"
@@ -59,3 +60,11 @@ def test_pallas_decode_large_blocks(rng):
     than the block accumulator (exercises the pad-before-fold path).
     Short raw_len keeps interpret-mode segment count small."""
     _roundtrip(rng, 1024, [5 * 1024 + 321])
+
+
+def test_pallas_decode_arity16(rng):
+    """Nybble-digit decode (4-bit fields, L=7): digit-reversed packing,
+    funnel windows, and rank shifts generalized over the field width."""
+    from data_compression_tpu.ops.pallas.decode_kernel import LANES
+
+    _roundtrip(rng, 128, [128 * LANES, 4321], arity=16)

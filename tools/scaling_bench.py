@@ -9,11 +9,15 @@ devices) over the same total corpus, and reports
 
     efficiency = (bytes_per_s_P / P) / bytes_per_s_1
 
-the ≥90% 2-host metric from BASELINE.json.  On a single machine the
-virtual processes share physical cores, so the printed number is a
-pessimistic simulation (it still catches protocol-level serialization
-— a broken all-reduce or a host-side bottleneck shows up as eff << 1);
-the same harness run on a real v5e-16 measures DCN overhead honestly.
+the ≥90% 2-host metric from BASELINE.json.  Every process — including
+the P = 1 baseline — is taskset-pinned to its own physical core
+(round-robin when nprocs > cores), so per-process compute resources
+are equal across topologies and the ratio isolates PROTOCOL overhead
+instead of core contention (round-3 harness lacked pinning and
+measured 0.28 that was mostly timeslicing).  Each worker also reports
+its compute vs collective split (the final all-gather), so a low
+efficiency is attributable.  On a real v5e-16 the same harness
+measures ICI/DCN overhead honestly.
 
 Writes SCALING.json at the repo root.
 """
@@ -62,9 +66,13 @@ def run_topology(nproc: int, dev_per_proc: int, nbytes: int) -> dict:
     script = _WORKER % (dev_per_proc, REPO)
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
+    ncores = os.cpu_count() or 1
     procs = [
         subprocess.Popen(
-            [sys.executable, "-c", script, str(port), str(pid), str(nproc), str(nbytes)],
+            # pin each worker (and the 1-proc baseline) to its own core:
+            # equal per-process compute across topologies
+            ["taskset", "-c", str(pid % ncores), sys.executable, "-c",
+             script, str(port), str(pid), str(nproc), str(nbytes)],
             stdout=subprocess.PIPE,
             stderr=subprocess.PIPE,
             text=True,
@@ -102,8 +110,10 @@ def main() -> int:
         "corpus_mb": mb,
         "single_proc": r1,
         "multi_proc": rN,
-        "note": "virtual CPU mesh on one machine: processes share physical "
-        "cores, so this simulates protocol overhead, not real DCN scaling",
+        "cores": os.cpu_count(),
+        "note": "virtual CPU mesh, one pinned core per process (incl. the "
+        "P=1 baseline): the ratio isolates protocol overhead; compute_s vs "
+        "collective_s in the worker reports attributes any residual",
     }
     with open(os.path.join(REPO, "SCALING.json"), "w") as f:
         json.dump(report, f, indent=1)
