@@ -453,12 +453,13 @@ def main() -> int:
             g, r = bench_huffman_encode(small, a)
             detail[f"huffman{a}_encode_gbps"] = round(g, 3)
             detail[f"huffman{a}_ratio"] = round(r, 4)
-        try:
-            detail["huffman16_decode_gbps"] = round(
-                bench_huffman_decode(small, 16), 3
-            )
-        except Exception as e:  # pragma: no cover
-            detail["huffman16_decode_gbps"] = f"error: {e}"
+        for a in (3, 16):
+            try:
+                detail[f"huffman{a}_decode_gbps"] = round(
+                    bench_huffman_decode(small, a), 3
+                )
+            except Exception as e:  # pragma: no cover
+                detail[f"huffman{a}_decode_gbps"] = f"error: {e}"
         detail.update(bench_serial_host())
         scan = make_corpus(SCAN_MB * 1024 * 1024, seed=2)
         try:

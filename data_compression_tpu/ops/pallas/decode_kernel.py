@@ -72,16 +72,18 @@ SUB = 256  # digits per stage-1/3 sub-segment (bounds live temporaries)
 
 # Per-arity digit geometry: bits per digit field in the packed words,
 # digits per 32-bit word, digits per wire byte, max code length.
-DEC_ARITIES = (2, 16)
+# n=3 rides 2-bit trit fields: its windows are converted from field
+# space to base-3 value space with three 4-field table gathers.
+DEC_ARITIES = (2, 3, 16)
 
 
 def _adim(arity: int):
-    bpdbits = {2: 1, 16: 4}[arity]
+    bpdbits = {2: 1, 3: 2, 16: 4}[arity]
     dpw = 32 // bpdbits  # digits per packed word
     from data_compression_tpu.config import ARITY_DIGITS_PER_BYTE
 
-    dpb = ARITY_DIGITS_PER_BYTE[arity]  # digits per wire byte (8 / 2)
-    L = ARITY_MAX_LEN[arity]  # 15 / 7
+    dpb = ARITY_DIGITS_PER_BYTE[arity]  # digits per wire byte (8 / 5 / 2)
+    L = ARITY_MAX_LEN[arity]  # 15 / 15 / 7
     return bpdbits, dpw, dpb, L
 
 
@@ -90,14 +92,51 @@ def _geom(C: int, arity: int = 2):
     of C = block_size/128 symbols.  Returns (cap, capp, mbp, seg_wf,
     pw): digit capacity, capacity padded to whole segments, padded
     payload bytes per chunk, per-block output words, packed words per
-    block at capacity."""
+    block at capacity.  For n=3 the padded capacity also aligns to the
+    80-trit (16-byte / 5-word) packing group."""
     _, dpw, dpb, _ = _adim(arity)
     cap = _cap_digits(C, arity)
-    capp = -(-cap // SEG) * SEG
+    align = SEG if arity != 3 else (SEG * 80 // np.gcd(SEG, 80))
+    capp = -(-cap // align) * align
     mbp = capp // dpb
     seg_wf = C * 8 // 32
     pw = capp // dpw
     return cap, capp, mbp, seg_wf, pw
+
+
+# --- n=3 host-side lookup tables (kernel constants, 2 gather rows each)
+# PAT: wire byte -> its 5 trits as 2-bit fields, FIRST trit most
+# significant (10-bit pattern, digit-reversed like the n=2 bit reverse).
+# T4: a byte of 4 packed fields (f0 f1 f2 f3, f0 most significant) ->
+# its base-3 value f0*27+f1*9+f2*3+f3.
+# PREM: ((r-1) << 6) | t for r in 1..3 -> base-3 value of the LAST r
+# fields of the 6-bit field group t (partial-prefix remainder).
+def _n3_tables() -> np.ndarray:
+    pat = np.zeros(256, np.int32)
+    for b in range(243):
+        t = b
+        v = 0
+        for k in range(5):  # trit k = (b // 3^k) % 3, k=0 first
+            v |= (t % 3) << (8 - 2 * k)
+            t //= 3
+        pat[b] = v
+    t4 = np.zeros(256, np.int32)
+    for x in range(256):
+        t4[x] = (
+            ((x >> 6) & 3) * 27 + ((x >> 4) & 3) * 9 + ((x >> 2) & 3) * 3
+            + (x & 3)
+        )
+    prem = np.zeros(256, np.int32)
+    for r in (1, 2, 3):
+        for t in range(1 << (2 * r)):
+            v = 0
+            for k in range(r - 1, -1, -1):
+                v = v * 3 + ((t >> (2 * k)) & 3)
+            prem[((r - 1) << 6) | t] = v
+    return np.stack([pat, t4, prem]).reshape(3, 2, 128)
+
+
+_N3_TABLES = _n3_tables()
 
 
 def _seg_merge_sched(C: int):
@@ -147,12 +186,51 @@ def _digitrev32(x, arity: int):
     return sr(x, 16) | (x << 16)
 
 
-def _fill_reversed_words(payload_ref, words_ref, nseg, arity: int):
+def _fill_reversed_words(payload_ref, words_ref, nseg, arity: int,
+                         tabs_ref=None):
     """Pack payload bytes (LSB-first digits) into digit-reversed packed
     words: digit j of block b lands at field (DPW-1)-(j%DPW) of word row
-    (j/DPW)*G8 + b.  Only the segments the pipeline will walk are
-    packed (``nseg`` from SMEM); one trailing zero word group serves
-    the funnel shift's hi-word read at the last positions."""
+    (j/DPW)*G8 + b.  Only the region the pipeline will walk is packed
+    (``nseg`` from SMEM); one trailing zero word group serves the
+    funnel shift's hi-word read at the last positions.
+
+    n=3: bytes are base-243 (5 trits each); each byte gathers its
+    10-bit digit-reversed field pattern (PAT table) and 16-byte groups
+    assemble 5 words with static shifts — the 160-bit concatenation of
+    16 ten-bit patterns."""
+    if arity == 3:
+        p_lo, p_hi = tabs_ref[0, 0:1, :], tabs_ref[0, 1:2, :]
+
+        def fill3(g, _):
+            rows = payload_ref[pl.ds(g * 16 * G8, 16 * G8), :].astype(
+                jnp.int32
+            )
+            pats = _gather256(p_lo, p_hi, rows)  # [16*G8, LANES]
+            p16 = pats.reshape(16, G8, LANES)
+            out = []
+            for w in range(5):
+                acc = jnp.zeros((G8, LANES), jnp.int32)
+                for i in range(16):
+                    sft = 32 * w + 22 - 10 * i
+                    if sft <= -10 or sft >= 32:
+                        continue
+                    if sft >= 0:
+                        acc = acc | jax.lax.shift_left(p16[i], sft)
+                    else:
+                        acc = acc | jax.lax.shift_right_logical(p16[i], -sft)
+                out.append(acc)
+            words_ref[pl.ds(g * 5 * G8, 5 * G8), :] = jnp.concatenate(
+                out, axis=0
+            )
+            return 0
+
+        ngf = (nseg * (SEG // 16) + 4) // 5  # 16-byte groups covering nseg
+        jax.lax.fori_loop(0, ngf, fill3, 0)
+        words_ref[pl.ds(ngf * 5 * G8, G8), :] = jnp.zeros(
+            (G8, LANES), jnp.int32
+        )
+        return
+
     WPS = SEG // _adim(arity)[1]
 
     def fill(g, _):
@@ -195,25 +273,25 @@ def _make_kernel(stages: int = 4, C: int = CHUNK_SYMS, arity: int = 2):
     """stages: profiling ablation — 1: window/length/rank only,
     2: + boundary walk, 3: + compaction, 4: full (rank->symbol)."""
 
-    def kernel(limit_ref, bmf_ref, syms_ref, meta_ref, payload_ref, out_ref,
-               packed_ref, accw_ref, accb_ref, words_ref):
-        _kernel_body(stages, C, arity, limit_ref, bmf_ref, syms_ref, meta_ref,
-                     payload_ref, out_ref, packed_ref, accw_ref, accb_ref,
-                     words_ref)
+    def kernel(tabs_ref, limit_ref, bmf_ref, syms_ref, meta_ref, payload_ref,
+               out_ref, packed_ref, accw_ref, accb_ref, words_ref):
+        _kernel_body(stages, C, arity, tabs_ref, limit_ref, bmf_ref, syms_ref,
+                     meta_ref, payload_ref, out_ref, packed_ref, accw_ref,
+                     accb_ref, words_ref)
 
     return kernel
 
 
-def _kernel_body(stages, C, arity, limit_ref, bmf_ref, syms_ref, meta_ref,
-                 payload_ref, out_ref, packed_ref, accw_ref, accb_ref,
-                 words_ref):
+def _kernel_body(stages, C, arity, tabs_ref, limit_ref, bmf_ref, syms_ref,
+                 meta_ref, payload_ref, out_ref, packed_ref, accw_ref,
+                 accb_ref, words_ref):
     bpdbits, _, _, L = _adim(arity)
     _, _, _, seg_wf, _ = _geom(C, arity)
     pay_ref = payload_ref.at[0]  # [mbp*8, 128] rows (byte, block)
     nseg = meta_ref[0, 0, 0]  # segments this cell actually needs
 
     # stage 0: digit-reversed packed words for the walked region only
-    _fill_reversed_words(pay_ref, words_ref, nseg, arity)
+    _fill_reversed_words(pay_ref, words_ref, nseg, arity, tabs_ref)
 
     # per-block table columns, lane-broadcast once: [8, 128] each
     lim8 = [None] * (L + 1)
@@ -231,12 +309,28 @@ def _kernel_body(stages, C, arity, limit_ref, bmf_ref, syms_ref, meta_ref,
         for h4 in range(SEG // SUB):
             h = sg * (SEG // SUB) + h4
             W3 = _windows_for_subseg(words_ref, h, arity)  # [SUB, G8, LANES]
+            if arity == 3:
+                # field space -> base-3 value space: three 4-field
+                # gathers + the 3-field remainder (module tables)
+                t4lo, t4hi = tabs_ref[0, 2:3, :], tabs_ref[0, 3:4, :]
+                prlo, prhi = tabs_ref[0, 4:5, :], tabs_ref[0, 5:6, :]
+                Wf2 = W3.reshape(SUB * G8, LANES)
+                g0 = _gather256(t4lo, t4hi, (Wf2 >> 22) & 0xFF)
+                g1 = _gather256(t4lo, t4hi, (Wf2 >> 14) & 0xFF)
+                g2 = _gather256(t4lo, t4hi, (Wf2 >> 6) & 0xFF)
+                v8 = g0 * 81 + g1
+                v12 = v8 * 81 + g2
+                rem = _gather256(prlo, prhi, (2 << 6) | (Wf2 & 0x3F))
+                Wval = (v12 * 27 + rem).reshape(SUB, G8, LANES)
+            else:
+                Wval = W3
             ln = jnp.ones((SUB, G8, LANES), jnp.int32)
             for l in range(1, L):
-                ln = ln + (W3 >= lim8[l]).astype(jnp.int32)
-            # rank = bmf[len] + (W >> (L-len)): per-block 2-D lane
-            # gather over a 16-entry row (Mosaic supports 2-D gathers
-            # only) + one vector-amount shift
+                ln = ln + (Wval >= lim8[l]).astype(jnp.int32)
+            # rank = bmf[len] + value of the first len digits: per-block
+            # 2-D lane gather over a 16-entry row (Mosaic supports 2-D
+            # gathers only) + one vector-amount shift (power-of-two
+            # arities) or the gathered prefix decomposition (n=3)
             cols = []
             for b in range(G8):
                 ln_b = ln[:, b, :]
@@ -244,9 +338,34 @@ def _kernel_body(stages, C, arity, limit_ref, bmf_ref, syms_ref, meta_ref,
                     jnp.broadcast_to(bmf_all[b:b + 1], (SUB, LANES)),
                     ln_b, axis=1,
                 )
-                rank = bmf_g + jax.lax.shift_right_logical(
-                    W3[:, b, :], bpdbits * (L - ln_b)
-                )
+                if arity == 3:
+                    g0b = g0.reshape(SUB, G8, LANES)[:, b, :]
+                    v8b = v8.reshape(SUB, G8, LANES)[:, b, :]
+                    v12b = v12.reshape(SUB, G8, LANES)[:, b, :]
+                    a = jax.lax.shift_right_logical(ln_b, 2)
+                    r = ln_b & 3
+                    base = jnp.where(
+                        a == 0, 0,
+                        jnp.where(a == 1, g0b, jnp.where(a == 2, v8b, v12b)),
+                    )
+                    x = jax.lax.shift_right_logical(
+                        W3[:, b, :], 30 - 2 * ln_b
+                    ) & ((1 << (2 * r)) - 1)
+                    part = jnp.where(
+                        r > 0,
+                        _gather256(prlo, prhi, ((r - 1) << 6) | x),
+                        0,
+                    )
+                    pw3 = jnp.where(
+                        r == 0, 1,
+                        jnp.where(r == 1, 3, jnp.where(r == 2, 9, 27)),
+                    )
+                    vlen = base * pw3 + part
+                    rank = bmf_g + vlen
+                else:
+                    rank = bmf_g + jax.lax.shift_right_logical(
+                        W3[:, b, :], bpdbits * (L - ln_b)
+                    )
                 cols.append(((ln_b - 1) << 9) | ((rank & 0xFF) + 1))
             packed = jnp.stack(cols, axis=1)  # [SUB, G8, LANES]
             packed_ref[pl.ds(h4 * SUB * G8, SUB * G8), :] = packed.reshape(
@@ -363,10 +482,12 @@ def _decode_pallas(payload_t, limit, bmf, syms, meta, *, interpret=False,
     Cc = chunk_syms
     L = _adim(arity)[3]
     _, _, mbp, seg_wf, pw = _geom(Cc, arity)
+    tabs = jnp.asarray(_N3_TABLES.reshape(1, 6, 128))
     return pl.pallas_call(
         _make_kernel(stages, Cc, arity),
         grid=(NC,),
         in_specs=[
+            pl.BlockSpec((1, 6, LANES), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, G8, L + 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, G8, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2 * G8, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -387,7 +508,7 @@ def _decode_pallas(payload_t, limit, bmf, syms, meta, *, interpret=False,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(limit, bmf, syms, meta, payload_t)
+    )(tabs, limit, bmf, syms, meta, payload_t)
 
 
 def prep_decode_inputs(payloads_by_block, tables, chunk_syms=CHUNK_SYMS,

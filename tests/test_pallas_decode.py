@@ -68,3 +68,13 @@ def test_pallas_decode_arity16(rng):
     from data_compression_tpu.ops.pallas.decode_kernel import LANES
 
     _roundtrip(rng, 128, [128 * LANES, 4321], arity=16)
+
+
+def test_pallas_decode_arity3(rng):
+    """Trinary decode (2-bit trit fields, base-243 wire): pattern-gather
+    word fill and value-space windows via 4-field table gathers —
+    trinary is the reference driver's own default config
+    (n_ary_huffman.c:2529)."""
+    from data_compression_tpu.ops.pallas.decode_kernel import LANES
+
+    _roundtrip(rng, 128, [128 * LANES, 4321], arity=3)
