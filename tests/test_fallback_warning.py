@@ -13,7 +13,10 @@ from data_compression_tpu.models import huffman as hmod
 from tests.conftest import ascii_text
 
 
-def test_decode_fallback_warns_for_arity3(caplog, rng):
+def test_decode_fallback_warns_for_bad_geometry(caplog, rng):
+    """Arity 3 decode is fused since round 4, so it must NOT warn about
+    arity — but a geometry violation (chunk_syms != block_size/128)
+    still must."""
     hmod._fallback_warned.clear()
     data = ascii_text(rng, 8192)
     cfg = CodecConfig(codec="huffman", arity=3, block_size=8192,
@@ -22,7 +25,8 @@ def test_decode_fallback_warns_for_arity3(caplog, rng):
     with caplog.at_level(logging.WARNING, logger="data_compression_tpu"):
         assert decompress(stream, cfg) == data
     msgs = [r.message for r in caplog.records]
-    assert any("arity 3" in m and "decode" in m for m in msgs), msgs
+    assert any("chunk_syms 512" in m and "decode" in m for m in msgs), msgs
+    assert not any("arity 3" in m for m in msgs), msgs
 
 
 def test_encode_fallback_warns_for_bad_geometry(caplog, rng):
