@@ -27,6 +27,13 @@ def smoke() -> int:
     interpret mode on one tiny block and print JSON — so API drift in
     the kernel entry points fails tests/test_bench_smoke.py instead of
     shipping a broken profiler (VERDICT r3 weak #7)."""
+    # force CPU before backend init (the session sitecustomize registers
+    # the axon TPU plugin and overrides jax_platforms; interpret-mode
+    # pallas over the relay is pathologically slow)
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from data_compression_tpu import framing
