@@ -151,3 +151,33 @@ def test_native_small_and_nybble_corrupt_streams():
                 dec(bytes(corrupt), raw_len)
             except ValueError:
                 pass
+
+
+def test_bitflip_device_parse_path(rng):
+    """The vectorized device-path payload parse (round 4,
+    HuffmanCodec._parse_payloads_vec) must honor the same corruption
+    contract as the host parser: every bit flip either roundtrips to a
+    clean ValueError or is caught by the per-block CRC."""
+    import zlib
+
+    from data_compression_tpu.api import compress, decompress
+    from data_compression_tpu.config import CodecConfig
+
+    cfg = CodecConfig(codec="huffman", arity=2, block_size=4096,
+                      chunk_syms=512, use_device=True, use_pallas=False)
+    letters = np.frombuffer(b" etaoinshrdlcu.,\n", np.uint8)
+    data = rng.choice(letters, size=3 * 4096 + 99).tobytes()
+    blob = bytearray(compress(data, cfg))
+    assert decompress(bytes(blob), cfg) == data
+    rs = np.random.default_rng(zlib.crc32(b"device-parse"))
+    for _ in range(40):
+        pos = int(rs.integers(32, len(blob)))  # past the header
+        bit = 1 << int(rs.integers(0, 8))
+        blob[pos] ^= bit
+        try:
+            out = decompress(bytes(blob), cfg)
+            assert out == data, "corruption silently accepted"
+        except ValueError:
+            pass
+        finally:
+            blob[pos] ^= bit
