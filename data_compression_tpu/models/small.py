@@ -412,6 +412,12 @@ class SmallNybbleCodec(Codec):
         return EncodeResult(payloads=payloads)
 
     def decode_blocks(self, payloads, raw_lens, shared_table=None):
+        if self.config.use_scan and len(payloads) > 1:
+            from data_compression_tpu.ops.scan_codecs import (
+                small_nybble_decode_blocks,
+            )
+
+            return small_nybble_decode_blocks(payloads, raw_lens)
         from data_compression_tpu import native
 
         if native.load() is not None:

@@ -293,6 +293,126 @@ def small_byte_decode_blocks(payloads: List[bytes], raw_lens: List[int]) -> List
     return [outs[i, : int(rl[i])].tobytes() for i in range(B)]
 
 
+W2MAX = 512  # longest nybble-LZW word in NYBBLES (2 * MAX_WORD)
+
+
+def _small_nybble_decode_lane(payload, plen, raw_len, S):
+    """One small_nybble block as a scan over compressed indexes.
+
+    The nybble-coordinate mirror of ``_small_byte_decode_lane``: the
+    dictionary spans index the decoded NYBBLE stream (low nybble first,
+    small_compression.c:795-801), literal nybbles live at indexes
+    0x10-0x1F (:803-805), every other index defaults to its own two
+    nybbles (initialize_table :783-836), and slots allocate 0x80..0xFF
+    wrapping to 0x80 (increment_table_index :1330-1384).  Bit-exact
+    with models.small.small_nybble_decode_host (differential-tested).
+    ``S``: static max output BYTES; the carry tracks 2*S nybbles.
+    """
+    P = payload.shape[0]
+
+    def step(carry, i):
+        nybs, nlen, starts, lengths, nwi, prev_ctx, prev_pos, prev_len = carry
+        active = (i + 2 < plen) & (nlen < 2 * raw_len)
+        idx = payload[jnp.minimum(i + 2, P - 1)]
+        done = nlen >> 1  # complete output bytes so far
+        last_byte = (
+            nybs[jnp.maximum(2 * done - 2, 0)]
+            | (nybs[jnp.maximum(2 * done - 1, 0)] << 4)
+        )
+        ctx = last_byte & 31
+
+        st = starts[ctx, idx]
+        ln = lengths[ctx, idx]
+        is_lit = (idx | 0xF) == 0x1F  # literal nybble index
+        is_default = (~is_lit) & (st < 0)
+        win = jax.lax.dynamic_slice(nybs, (jnp.maximum(st, 0),), (W2MAX,))
+        k = jnp.arange(W2MAX)
+        win = jnp.where(
+            is_lit,
+            jnp.where(k == 0, idx & 0xF, 0),
+            jnp.where(
+                is_default,
+                jnp.where(
+                    k == 0, idx & 0xF, jnp.where(k == 1, (idx >> 4) & 0xF, 0)
+                ),
+                win,
+            ),
+        )
+        wl = jnp.where(is_lit, 1, jnp.where(is_default, 2, ln))
+
+        new_nybs = jax.lax.dynamic_update_slice(nybs, win, (nlen,))
+        nybs = jnp.where(active, new_nybs, nybs)
+
+        # lock-step insert: span (prev_pos, prev_len + 1) in prev_ctx;
+        # slots 0x80..0xFF, wrap to 0x80 (only_hi_bit_set)
+        tochange = nwi[prev_ctx]
+        starts = jnp.where(
+            active, starts.at[prev_ctx, tochange].set(prev_pos), starts
+        )
+        lengths = jnp.where(
+            active, lengths.at[prev_ctx, tochange].set(prev_len + 1), lengths
+        )
+        nxt = jnp.where(tochange + 1 >= 0x100, 0x80, tochange + 1)
+        nwi = jnp.where(active, nwi.at[prev_ctx].set(nxt), nwi)
+
+        prev_ctx = jnp.where(active, ctx, prev_ctx)
+        prev_pos = jnp.where(active, nlen, prev_pos)
+        prev_len = jnp.where(active, wl, prev_len)
+        nlen = jnp.where(active, nlen + wl, nlen)
+        return (nybs, nlen, starts, lengths, nwi, prev_ctx, prev_pos, prev_len), 0
+
+    first = payload[1]
+    nybs0 = jnp.zeros((2 * S + W2MAX,), jnp.int32)
+    nybs0 = nybs0.at[0].set(first & 0xF).at[1].set((first >> 4) & 0xF)
+    carry0 = (
+        nybs0,
+        jnp.int32(2),
+        jnp.full((32, 256), -1, jnp.int32),
+        jnp.zeros((32, 256), jnp.int32),
+        jnp.full((32,), 0x80, jnp.int32),
+        jnp.int32(ord(" ") & 31),
+        jnp.int32(0),
+        jnp.int32(2),  # the verbatim first byte's two nybbles
+    )
+    (nybs, *_), _ = jax.lax.scan(step, carry0, jnp.arange(P - 2))
+    pairs = nybs[: 2 * S].reshape(S, 2)
+    return (pairs[:, 0] | (pairs[:, 1] << 4)).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("S",))
+def _small_nybble_decode_batch(payloads, plens, raw_lens, S):
+    return jax.vmap(lambda p, pl, r: _small_nybble_decode_lane(p, pl, r, S))(
+        payloads.astype(jnp.int32), plens, raw_lens
+    )
+
+
+def small_nybble_decode_blocks(
+    payloads: List[bytes], raw_lens: List[int]
+) -> List[bytes]:
+    """Device-parallel nybble-LZW decode, one lane per block (the
+    block-parallel strategy SURVEY §3.5 prescribes for scheme B,
+    small_compression.c:1432-1483)."""
+    if not payloads:
+        return []
+    B = len(payloads)
+    P = max(max(len(p) for p in payloads), 3)
+    arr = np.zeros((B, P), np.uint8)
+    plens = np.zeros(B, np.int32)
+    for i, p in enumerate(payloads):
+        if len(p) == 0 or p[0] != 8:  # EIGHT_BIT_PRUNED
+            raise ValueError(f"block {i}: bad small_nybble stream type byte")
+        arr[i, : len(p)] = np.frombuffer(p, np.uint8)
+        plens[i] = len(p)
+    rl = np.asarray(raw_lens, np.int32)
+    S = max(_round_up(int(rl.max(initial=1)), 4096), W2MAX)
+    outs = np.asarray(
+        _small_nybble_decode_batch(
+            jnp.asarray(arr), jnp.asarray(plens), jnp.asarray(rl), S
+        )
+    )
+    return [outs[i, : int(rl[i])].tobytes() for i in range(B)]
+
+
 def nybble_decode_blocks(payloads: List[bytes], raw_lens: List[int]) -> List[bytes]:
     """Device-parallel decode of framed nybble payloads."""
     if not payloads:

@@ -127,3 +127,31 @@ def test_frozen_semantics_wraparound_consistency(rng):
     data = bytes(rng.integers(1, 32, size=20000, dtype=np.uint8))
     comp = small_byte_encode_host(data)
     assert small_byte_decode_host(comp, len(data)) == data
+
+
+def test_nybble_device_decode_matches_host(rng):
+    # scheme-B scan lane vs the host decoder, bit-exact (the
+    # block-parallel strategy SURVEY §3.5 prescribes for
+    # small_compression.c:1432-1483)
+    from data_compression_tpu.ops.scan_codecs import small_nybble_decode_blocks
+
+    texts = [
+        b"the cat sat on the mat. " * 30,
+        bytes(rng.integers(1, 250, size=3000, dtype=np.uint8)),
+        ascii_text(rng, 2000),
+        bytes(rng.integers(1, 16, size=6000, dtype=np.uint8)),  # slot wrap
+    ]
+    payloads = [small_nybble_encode_host(t) for t in texts]
+    for p, t in zip(payloads, texts):  # host decoder agrees first
+        assert small_nybble_decode_host(p, len(t)) == t
+    outs = small_nybble_decode_blocks(payloads, [len(t) for t in texts])
+    for o, t in zip(outs, texts):
+        assert o == t
+
+
+def test_nybble_use_scan_api_roundtrip(rng):
+    data = ascii_text(rng, 8 * 1024)
+    cfg = CodecConfig(codec="small_nybble", block_size=2048, chunk_syms=1024)
+    out = compress(data, cfg)
+    back = decompress(out, CodecConfig(use_scan=True))
+    assert back == data
