@@ -55,6 +55,7 @@ def _config(args) -> CodecConfig:
         chunk_syms=args.chunk_syms,
         shared_table=args.shared_table,
         use_device=not args.no_device,
+        isprint_literal=getattr(args, "isprint_literal", False),
     )
 
 
@@ -71,6 +72,11 @@ def main(argv=None) -> int:
         sp.add_argument("--chunk-syms", type=int, default=512)
         sp.add_argument("--shared-table", action="store_true")
         sp.add_argument("--no-device", action="store_true", help="host (numpy) path")
+        sp.add_argument(
+            "--isprint-literal", action="store_true",
+            help="small_byte: ISPRINT_IS_ALWAYS_LITERAL (0x1f) block "
+            "mode for all-printable blocks (small_compression.c:36)",
+        )
 
     sp = sub.add_parser("compress", help="compress IN to OUT")
     add_codec_flags(sp)

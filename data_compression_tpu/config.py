@@ -100,6 +100,12 @@ class CodecConfig:
     # the native C path (one scan dispatch per output byte).  They are
     # opt-in; production decode always routes native/host.
     use_scan: bool = False
+    # small_byte only: emit the ISPRINT_IS_ALWAYS_LITERAL (0x1f) stream
+    # for all-printable blocks — the last reserved mode of the
+    # reference's algorithm enum (small_compression.c:36): printable
+    # compressed bytes are always literals; every non-printable byte
+    # value indexes the dictionary (161 slots/context vs 127).
+    isprint_literal: bool = False
     level: Optional[int] = None  # reserved
 
     def __post_init__(self):

@@ -55,9 +55,23 @@ import numpy as np
 from data_compression_tpu.models.base import Codec, EncodeResult
 
 EIGHT_BIT_PRUNED = 8  # small_compression.c:39
+ISPRINT_LITERAL = 0x1F  # ISPRINT_IS_ALWAYS_LITERAL, small_compression.c:36
 NUM_CONTEXTS = 32
 DICT_INDEXES = 0x7F  # 127 word slots per context (scheme A)
 MAX_WORD = 256  # encoder match-length cap
+
+# ISPRINT_IS_ALWAYS_LITERAL wire map: the reference reserves the mode
+# byte and never implements it; its name states the invariant — any
+# printable byte in the compressed stream is a literal.  Realized here
+# as scheme A with the index space widened to EVERY non-printable byte
+# value (0x00-0x1F, 0x7F-0xFF = 161 slots/context vs 127), slot order =
+# ascending byte value.  Plaintext must itself be printable (0x20-0x7E).
+_NP_BYTES = np.array(
+    [b for b in range(256) if not (0x20 <= b <= 0x7E)], np.int32
+)
+_NP_SLOT = np.full(256, -1, np.int32)
+_NP_SLOT[_NP_BYTES] = np.arange(_NP_BYTES.size, dtype=np.int32)
+NP_SLOTS = int(_NP_BYTES.size)  # 161
 
 
 def _ctx(byte: int) -> int:
@@ -76,54 +90,70 @@ class _ByteDict:
     the output; (prefix, prefix_gen, letter) exist for the encoder's
     match search."""
 
-    def __init__(self):
-        self.start = np.full((NUM_CONTEXTS, DICT_INDEXES), -1, np.int64)
-        self.length = np.full((NUM_CONTEXTS, DICT_INDEXES), 2, np.int64)
-        self.gen = np.zeros((NUM_CONTEXTS, DICT_INDEXES), np.int64)
-        self.prefix = np.full((NUM_CONTEXTS, DICT_INDEXES), ord(" "), np.int32)
-        self.prefix_gen = np.zeros((NUM_CONTEXTS, DICT_INDEXES), np.int64)
+    def __init__(self, n_slots: int = DICT_INDEXES):
+        self.n_slots = n_slots
+        self.start = np.full((NUM_CONTEXTS, n_slots), -1, np.int64)
+        self.length = np.full((NUM_CONTEXTS, n_slots), 2, np.int64)
+        self.gen = np.zeros((NUM_CONTEXTS, n_slots), np.int64)
+        self.prefix = np.full((NUM_CONTEXTS, n_slots), ord(" "), np.int32)
+        self.prefix_gen = np.zeros((NUM_CONTEXTS, n_slots), np.int64)
         self.letter = np.tile(
-            np.arange(DICT_INDEXES, dtype=np.int32), (NUM_CONTEXTS, 1)
+            np.arange(n_slots, dtype=np.int32), (NUM_CONTEXTS, 1)
         )
         self.letter[:, 0] = ord("x")  # default for slot 0 (:185)
+        if n_slots > DICT_INDEXES:
+            # isprint mode's extra slots start empty (no default words):
+            # sentinel letter never matches a real byte
+            self.letter[:, DICT_INDEXES:] = -1
         self.nwi = np.zeros(NUM_CONTEXTS, np.int32)
 
-    def add(self, prev_context, prev_index, prev_pos, prev_len, first_byte):
+    def add(self, prev_context, prev_index, prev_pos, prev_len, first_byte,
+            prev_slot=None):
         """Lock-step insert: new word = previous word + 1 byte, i.e. the
-        span (prev_pos, prev_len + 1)."""
+        span (prev_pos, prev_len + 1).  ``prev_slot``: dict slot of
+        prev_index, or -1 for a literal (None = scheme-A 0x80 rule)."""
+        if prev_slot is None:
+            prev_slot = prev_index - 0x80 if prev_index >= 0x80 else -1
         s = int(self.nwi[prev_context])
         self.start[prev_context, s] = prev_pos
         self.length[prev_context, s] = prev_len + 1
         self.gen[prev_context, s] += 1
         self.prefix[prev_context, s] = prev_index
-        if prev_index >= 0x80:
-            self.prefix_gen[prev_context, s] = self.gen[prev_context, prev_index - 0x80]
+        if prev_slot >= 0:
+            self.prefix_gen[prev_context, s] = self.gen[prev_context, prev_slot]
         else:
             self.prefix_gen[prev_context, s] = 0
         self.letter[prev_context, s] = first_byte
-        self.nwi[prev_context] = (s + 1) % DICT_INDEXES
+        self.nwi[prev_context] = (s + 1) % self.n_slots
 
-    def emit(self, context, index, out: bytearray) -> int:
-        """Append index's word to out; returns its length."""
-        if index < 0x80:
-            out.append(index)
-            return 1
-        s = index - 0x80
+    def emit_slot(self, context, s, out: bytearray) -> int:
+        """Append slot s's word to out; returns its length."""
         st = int(self.start[context, s])
         ln = int(self.length[context, s])
         if st < 0:  # default entry: ' ' + chr(s)
             out.append(ord(" "))
-            out.append(ord("x") if s == 0 else s)
+            out.append(ord("x") if s == 0 or s >= DICT_INDEXES else s)
             return 2
         for k in range(ln):  # byte-serial copy handles self-overlap
             out.append(out[st + k])
         return ln
 
-    def find_child(self, context, index, byte, banned) -> int:
-        """Lowest slot whose frozen content = content(index) + byte."""
+    def emit(self, context, index, out: bytearray) -> int:
+        """Scheme-A wire mapping: index < 0x80 literal, else slot."""
+        if index < 0x80:
+            out.append(index)
+            return 1
+        return self.emit_slot(context, index - 0x80, out)
+
+    def find_child(self, context, index, byte, banned, slot=None) -> int:
+        """Lowest slot whose frozen content = content(index) + byte.
+        ``slot``: dict slot of index, or -1 for a literal prefix (None =
+        scheme-A 0x80 rule)."""
+        if slot is None:
+            slot = index - 0x80 if index >= 0x80 else -1
         ok = (self.prefix[context] == index) & (self.letter[context] == byte)
-        if index >= 0x80:
-            ok &= self.prefix_gen[context] == self.gen[context, index - 0x80]
+        if slot >= 0:
+            ok &= self.prefix_gen[context] == self.gen[context, slot]
         hits = np.flatnonzero(ok)
         for w in hits:
             if int(w) != banned:
@@ -192,6 +222,89 @@ def small_byte_decode_host(payload: bytes, raw_len: int) -> bytes:
         prev_pos, prev_len = pos, wl
     if len(out) != raw_len:
         raise ValueError("small_byte stream decoded past expected length")
+    return bytes(out)
+
+
+def small_isprint_encode_host(src: bytes) -> bytes:
+    """ISPRINT_IS_ALWAYS_LITERAL encoder (mode byte 0x1f,
+    small_compression.c:36 — reserved in the reference's enum, never
+    implemented).  The mode's invariant is its name: any printable byte
+    in the compressed stream is a literal; every NON-printable byte
+    value is a per-context dictionary word index, giving 161 slots per
+    context (vs scheme A's 127).  Plaintext must be printable
+    (0x20-0x7E)."""
+    out = bytearray([ISPRINT_LITERAL])
+    if not src:
+        return bytes(out)
+    arr = np.frombuffer(src, np.uint8)
+    if int(arr.min()) < 0x20 or int(arr.max()) > 0x7E:
+        raise ValueError("isprint mode requires printable plaintext")
+    out.append(src[0])
+    d = _ByteDict(NP_SLOTS)
+    prev_context = _ctx(ord(" "))
+    prev_index = src[0]
+    prev_pos, prev_len = 0, 1
+    pos = 1
+    n = len(src)
+    while pos < n:
+        context = _ctx(src[pos - 1])
+        banned = int(d.nwi[prev_context]) if context == prev_context else -1
+        index = src[pos]
+        length = 1
+        while pos + length < n and length < MAX_WORD - 1:
+            w = d.find_child(
+                context, index, src[pos + length], banned,
+                slot=int(_NP_SLOT[index]),
+            )
+            if w < 0:
+                break
+            index = int(_NP_BYTES[w])
+            length += 1
+        out.append(index)
+        d.add(
+            prev_context, prev_index, prev_pos, prev_len, src[pos],
+            prev_slot=int(_NP_SLOT[prev_index]),
+        )
+        prev_context, prev_index = context, index
+        prev_pos, prev_len = pos, length
+        pos += length
+    return bytes(out)
+
+
+def small_isprint_decode_host(payload: bytes, raw_len: int) -> bytes:
+    """Lock-step decoder for the 0x1f mode: printable stream bytes are
+    literals, non-printable bytes index the span dictionary."""
+    if raw_len == 0:
+        return b""
+    if not payload or payload[0] != ISPRINT_LITERAL:
+        raise ValueError("bad small_isprint stream type byte")
+    out = bytearray([payload[1]])
+    d = _ByteDict(NP_SLOTS)
+    prev_context = _ctx(ord(" "))
+    prev_index = payload[1]
+    prev_pos, prev_len = 0, 1
+    i = 2
+    while len(out) < raw_len:
+        if i >= len(payload):
+            raise ValueError("truncated small_isprint stream")
+        index = payload[i]
+        i += 1
+        context = _ctx(out[-1])
+        pos = len(out)
+        slot = int(_NP_SLOT[index])
+        if slot < 0:  # printable is always literal
+            out.append(index)
+            wl = 1
+        else:
+            wl = d.emit_slot(context, slot, out)
+        d.add(
+            prev_context, prev_index, prev_pos, prev_len, out[pos],
+            prev_slot=int(_NP_SLOT[prev_index]),
+        )
+        prev_context, prev_index = context, index
+        prev_pos, prev_len = pos, wl
+    if len(out) != raw_len:
+        raise ValueError("small_isprint stream decoded past expected length")
     return bytes(out)
 
 
@@ -365,8 +478,20 @@ class SmallByteCodec(Codec):
         B = blocks.shape[0]
         lengths = np.asarray(lengths, np.int64)
         pos = np.arange(blocks.shape[1])[None, :] < lengths[:, None]
-        ok = ~np.any((blocks >= 0x80) & pos, axis=1)
         payloads = [None] * B
+        ok = ~np.any((blocks >= 0x80) & pos, axis=1)
+        if self.config.isprint_literal:
+            # 0x1f mode: all-printable blocks ride it; others keep the
+            # standard scheme-A stream (mixed frames are valid — decode
+            # dispatches on each block's type byte)
+            printable = ~np.any(
+                ((blocks < 0x20) | (blocks > 0x7E)) & pos, axis=1
+            )
+            for i in np.flatnonzero(printable & ok):
+                payloads[i] = small_isprint_encode_host(
+                    blocks[i, : int(lengths[i])].tobytes()
+                )
+            ok &= ~printable
         idx = np.flatnonzero(ok)
         if native.load() is not None and idx.size:
             enc = native.encode_batch("small_byte", blocks[idx], lengths[idx])
@@ -377,11 +502,29 @@ class SmallByteCodec(Codec):
                 payloads[i] = small_byte_encode_host(
                     blocks[i, : int(lengths[i])].tobytes()
                 )
-        for i in np.flatnonzero(~ok):
-            payloads[i] = blocks[i, : int(lengths[i])].tobytes()
+        for i in range(B):
+            if payloads[i] is None:
+                payloads[i] = blocks[i, : int(lengths[i])].tobytes()
         return EncodeResult(payloads=payloads)
 
     def decode_blocks(self, payloads, raw_lens, shared_table=None):
+        # per-block type dispatch: 0x1f blocks ride the host isprint
+        # decoder; type-8 blocks take the scan/native/host paths
+        isp = [
+            i for i, p in enumerate(payloads) if p and p[0] == ISPRINT_LITERAL
+        ]
+        if isp:
+            out = [None] * len(payloads)
+            for i in isp:
+                out[i] = small_isprint_decode_host(payloads[i], raw_lens[i])
+            rest = [i for i in range(len(payloads)) if out[i] is None]
+            if rest:
+                dec = self.decode_blocks(
+                    [payloads[i] for i in rest], [raw_lens[i] for i in rest]
+                )
+                for i, blk in zip(rest, dec):
+                    out[i] = blk
+            return out
         if self.config.use_scan and len(payloads) > 1:
             from data_compression_tpu.ops.scan_codecs import (
                 small_byte_decode_blocks,

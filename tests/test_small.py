@@ -155,3 +155,40 @@ def test_nybble_use_scan_api_roundtrip(rng):
     out = compress(data, cfg)
     back = decompress(out, CodecConfig(use_scan=True))
     assert back == data
+
+
+def test_isprint_mode_roundtrip(rng):
+    # ISPRINT_IS_ALWAYS_LITERAL (0x1f): the reference enum's last
+    # reserved mode (small_compression.c:36) — printable stream bytes
+    # are literals, non-printable byte values index the dictionary
+    from data_compression_tpu.models.small import (
+        ISPRINT_LITERAL,
+        small_isprint_decode_host,
+        small_isprint_encode_host,
+    )
+
+    texts = [
+        b"the cat sat on the mat. " * 40,
+        ascii_text(rng, 4000).replace(b"\n", b" "),
+        bytes(rng.integers(0x20, 0x7F, size=5000, dtype=np.uint8)),
+    ]
+    for t in texts:
+        comp = small_isprint_encode_host(t)
+        assert comp[0] == ISPRINT_LITERAL  # the mode byte round-trips
+        assert small_isprint_decode_host(comp, len(t)) == t
+    with pytest.raises(ValueError):
+        small_isprint_encode_host(b"has\x01control")
+
+
+def test_isprint_mode_api_mixed_blocks(rng):
+    # printable blocks ride 0x1f, a block with control bytes stays on
+    # scheme A — both in one frame, dispatch on the per-block type byte
+    printable = bytes(rng.integers(0x20, 0x7F, size=2048, dtype=np.uint8))
+    control = bytes(rng.integers(1, 127, size=2048, dtype=np.uint8))
+    data = printable + control + printable
+    cfg = CodecConfig(
+        codec="small_byte", block_size=2048, chunk_syms=1024,
+        isprint_literal=True,
+    )
+    out = compress(data, cfg)
+    assert decompress(out) == data

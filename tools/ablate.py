@@ -5,7 +5,12 @@ decode (1: window/len/rank, 2: +boundary walk, 3: +compaction,
 4: +rank->symbol), plus the platform copy envelope and a minimal
 pallas pass-through kernel as the dispatch/DMA floor.
 
-Usage: python tools/ablate.py [arity] [mb]
+Usage: python tools/ablate.py [arity] [mb] [--out FILE]
+
+``--out FILE`` writes the report as a committed artifact (the round
+convention is ABLATION_r{N}.json, like bench's BENCH_r{N}.json) so
+perf claims in docs are always backed by a measurement.  Progress
+lines go to stderr as each stage completes.
 """
 
 from __future__ import annotations
@@ -71,12 +76,23 @@ def smoke() -> int:
     return 0 if ok else 1
 
 
+def _progress(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
 def main() -> int:
     import jax
     import jax.numpy as jnp
 
     if "--smoke" in sys.argv[1:]:
         return smoke()
+    out_path = None
+    argv = sys.argv[1:]
+    if "--out" in argv:
+        k = argv.index("--out")
+        out_path = argv[k + 1]
+        argv = argv[:k] + argv[k + 2 :]
+    sys.argv = [sys.argv[0]] + argv
 
     from data_compression_tpu import framing
     from data_compression_tpu.config import ARITY_MAX_LEN
@@ -152,6 +168,7 @@ def main() -> int:
     t = time_chain(copy_step, x8.astype(jnp.uint8), iters=12)
     report["pallas_passthrough_ms"] = round(t * 1e3, 3)
     report["pallas_passthrough_gbps"] = round(nbytes / t / 1e9, 2)
+    _progress(f"passthrough: {report['pallas_passthrough_ms']} ms")
 
     # ---- encode stages
     enc = {}
@@ -166,15 +183,16 @@ def main() -> int:
         best = time_chain(step, syms_t, dn, mt)
         enc[stages] = best
         report[f"encode_stage{stages}_ms"] = round(best * 1e3, 3)
+        _progress(f"encode stage {stages}: {best * 1e3:.3f} ms")
     report["encode_lookup_ms"] = round(enc[1] * 1e3, 3)
     report["encode_merge_ms"] = round((enc[2] - enc[1]) * 1e3, 3)
     report["encode_wire_ms"] = round((enc[3] - enc[2]) * 1e3, 3)
     report["encode_gbps"] = round(nbytes / enc[3] / 1e9, 3)
 
-    # ---- decode stages (arity 2 only)
-    if arity == 2:
-        from data_compression_tpu.ops.pallas import decode_kernel as dk
+    # ---- decode stages (all fused-decode arities)
+    from data_compression_tpu.ops.pallas import decode_kernel as dk
 
+    if arity in dk.DEC_ARITIES:
         out0, nb_chunks, _ = encode_blocks_pallas(
             jnp.asarray(blocks), lengths, tables, arity
         )
@@ -186,12 +204,16 @@ def main() -> int:
             ]
             for b in range(B)
         ]
-        payload_t, dl, db, dsym, dmeta = dk.prep_decode_inputs(payloads, tables)
+        payload_t, dl, db, dsym, dmeta = dk.prep_decode_inputs(
+            payloads, tables, arity=arity
+        )
         dec = {}
         for stages in (1, 2, 3, 4):
             @jax.jit
             def dstep(p, dl, db, dsym, dmeta, stages=stages):
-                out = dk._decode_pallas(p, dl, db, dsym, dmeta, stages=stages)
+                out = dk._decode_pallas(
+                    p, dl, db, dsym, dmeta, stages=stages, arity=arity
+                )
                 mix = jnp.tile(out, (1, p.shape[1] // out.shape[1] + 1, 1))[
                     :, : p.shape[1], :
                 ]
@@ -200,6 +222,7 @@ def main() -> int:
             best = time_chain(dstep, payload_t, dl, db, dsym, dmeta)
             dec[stages] = best
             report[f"decode_stage{stages}_ms"] = round(best * 1e3, 3)
+            _progress(f"decode stage {stages}: {best * 1e3:.3f} ms")
         report["decode_window_ms"] = round(dec[1] * 1e3, 3)
         report["decode_walk_ms"] = round((dec[2] - dec[1]) * 1e3, 3)
         report["decode_compact_ms"] = round((dec[3] - dec[2]) * 1e3, 3)
@@ -207,7 +230,11 @@ def main() -> int:
         report["decode_gbps"] = round(nbytes / dec[4] / 1e9, 3)
 
     report["copy_envelope_gbps"] = round(measure_envelope(), 2)
-    print(json.dumps(report, indent=1))
+    text = json.dumps(report, indent=1)
+    print(text)
+    if out_path:
+        with open(out_path, "w") as f:
+            f.write(text + "\n")
     return 0
 
 
