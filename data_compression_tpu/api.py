@@ -163,6 +163,7 @@ def compress_stream(
     fout,
     config: Optional[CodecConfig] = None,
     batch_blocks: int = DEFAULT_BATCH_BLOCKS,
+    printable: bool = False,
 ) -> dict:
     """Compress a binary stream into a concatenation of independent
     frames, holding at most ``batch_blocks`` blocks of input resident.
@@ -171,7 +172,12 @@ def compress_stream(
     blocks off stdin (n_ary_huffman.c:2508-2580, load_more_text
     :1260-1294).  Here the bounded unit is a batch of blocks so the
     device still sees large parallel batches; a 1 GB+ input costs
-    ~batch_blocks x block_size resident, not 2 x the file."""
+    ~batch_blocks x block_size resident, not 2 x the file.
+
+    ``printable=True`` armors each frame as an independent in-band
+    printable container (framing.frame_to_printable), so unbounded
+    inputs stream to all-isprint output; decompress_stream consumes
+    either form (framing.read_frame auto-detects per frame)."""
     config = config or CodecConfig()
     batch_bytes = batch_blocks * config.block_size
     total_in = 0
@@ -181,13 +187,13 @@ def compress_stream(
         chunk = fin.read(batch_bytes)
         if not chunk:
             break
-        out = compress(chunk, config)
+        out = compress(chunk, config, printable=printable)
         fout.write(out)
         total_in += len(chunk)
         total_out += len(out)
         frames += 1
     if frames == 0:  # empty input still yields one valid (empty) frame
-        out = compress(b"", config)
+        out = compress(b"", config, printable=printable)
         fout.write(out)
         total_out += len(out)
         frames = 1

@@ -84,7 +84,8 @@ def main(argv=None) -> int:
         "--printable", action="store_true",
         help="emit the in-band printable container (every block payload "
         "an independent Z85 span; the reference's reserved '_' mode, "
-        "small_compression.c:35-40); single frame, not streamed",
+        "small_compression.c:35-40); streams one armored container per "
+        "frame, so unbounded inputs work",
     )
     sp.add_argument(
         "--batch-blocks",
@@ -124,25 +125,15 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
 
     if args.cmd == "compress":
-        if args.printable:
-            data = _read(args.input)
-            t0 = time.perf_counter()
-            out = api.compress(data, _config(args), printable=True)
-            dt = time.perf_counter() - t0
-            _write(args.output, out)
-            print(
-                f"{len(data)} -> {len(out)} printable bytes "
-                f"(ratio {len(out)/max(1,len(data)):.4f}, {dt:.3f}s)",
-                file=sys.stderr,
-            )
-            return 0
         # Streamed: holds at most batch_blocks x block_size resident,
-        # so 1 GB+ inputs (and unbounded stdin) never double in RAM.
+        # so 1 GB+ inputs (and unbounded stdin) never double in RAM —
+        # printable output armors each frame independently.
         fin, fout = _open_in(args.input), _open_out(args.output)
         try:
             t0 = time.perf_counter()
             st = api.compress_stream(
-                fin, fout, _config(args), batch_blocks=args.batch_blocks
+                fin, fout, _config(args), batch_blocks=args.batch_blocks,
+                printable=args.printable,
             )
             dt = time.perf_counter() - t0
         finally:
@@ -162,28 +153,10 @@ def main(argv=None) -> int:
         return 0
 
     if args.cmd == "decompress":
+        # read_frame auto-detects binary vs printable containers per
+        # frame, so both (and mixed streams) decompress streamed.
         cfg = CodecConfig(chunk_syms=args.chunk_syms, use_device=not args.no_device)
-        head = _read(args.input) if args.input == "-" else None
-        if head is None:
-            with open(args.input, "rb") as f:
-                sniff = f.read(len(framing.PRINTABLE_MAGIC))
-        else:
-            sniff = head[: len(framing.PRINTABLE_MAGIC)]
-        if sniff == framing.PRINTABLE_MAGIC:
-            data = head if head is not None else _read(args.input)
-            t0 = time.perf_counter()
-            out = api.decompress(data, cfg)
-            dt = time.perf_counter() - t0
-            _write(args.output, out)
-            print(f"{len(data)} -> {len(out)} bytes ({dt:.3f}s)",
-                  file=sys.stderr)
-            return 0
-        if head is not None:
-            import io
-
-            fin, fout = io.BytesIO(head), _open_out(args.output)
-        else:
-            fin, fout = _open_in(args.input), _open_out(args.output)
+        fin, fout = _open_in(args.input), _open_out(args.output)
         try:
             t0 = time.perf_counter()
             st = api.decompress_stream(fin, fout, cfg)

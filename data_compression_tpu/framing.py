@@ -266,6 +266,67 @@ def printable_to_frame(data: bytes) -> bytes:
     return head + meta + b"".join(payloads)
 
 
+def _read_exact(stream, n: int, what: str) -> bytes:
+    buf = stream.read(n)
+    if len(buf) != n:
+        raise ValueError(f"truncated printable container ({what})")
+    return buf
+
+
+def read_printable_frame(stream, magic_consumed: bool = False) -> bytes:
+    """Read one in-band printable container from a stream and return
+    the equivalent BINARY frame bytes.  Every span length is computable
+    from already-read data (the property frame_to_printable guarantees),
+    so streamed printable containers need no lookahead: a printable
+    stream is a concatenation of these, one per frame."""
+    if not magic_consumed:
+        if _read_exact(stream, len(PRINTABLE_MAGIC), "magic") != PRINTABLE_MAGIC:
+            raise ValueError("not a printable container")
+    from data_compression_tpu.utils.base64url import (
+        z85_core_decode,
+        z85_core_len,
+    )
+
+    hl = z85_core_len(_HEADER.size)
+    head_txt = _read_exact(stream, hl + 1, "header")
+    if head_txt[-1:] != b"\n":
+        raise ValueError("truncated printable container (header)")
+    head = z85_core_decode(head_txt[:-1].decode("ascii"), _HEADER.size)
+    (magic, ver, flags, _c, _a, _b, nblocks, _t, _cl, hcrc) = _HEADER.unpack(head)
+    if magic != MAGIC or ver != VERSION:
+        raise ValueError("bad printable header")
+    if crc32(head[:-4]) != hcrc:
+        raise ValueError("header CRC mismatch")
+    meta_len = nblocks * _ENTRY.size
+    lead = b""
+    if flags & FLAG_SHARED_TABLE:
+        # the shared-table length rides first in the meta region;
+        # decode its armored group to learn the full meta span length
+        lead = _read_exact(stream, z85_core_len(4), "shared table length")
+        (tlen,) = struct.unpack(
+            "<I", z85_core_decode(lead.decode("ascii"), 4)
+        )
+        meta_len += 4 + tlen
+    ml = z85_core_len(meta_len)
+    rest = _read_exact(stream, ml - len(lead) + 1, "meta")
+    if rest[-1:] != b"\n":
+        raise ValueError("truncated printable container (meta)")
+    meta = z85_core_decode((lead + rest[:-1]).decode("ascii"), meta_len)
+    comp_lens = [
+        _ENTRY.unpack_from(
+            meta, meta_len - nblocks * _ENTRY.size + k * _ENTRY.size
+        )[0]
+        for k in range(nblocks)
+    ]
+    payloads = []
+    for cl in comp_lens:
+        span = _read_exact(stream, z85_core_len(cl), "payload")
+        payloads.append(z85_core_decode(span.decode("ascii"), cl))
+    if _read_exact(stream, 1, "terminator") != b"\n":
+        raise ValueError("truncated printable container (terminator)")
+    return head + meta + b"".join(payloads)
+
+
 def read_frame(stream) -> Optional[bytes]:
     """Read exactly one complete frame from a binary file object, or
     None at a clean EOF.  Streamed containers are a concatenation of
@@ -273,10 +334,21 @@ def read_frame(stream) -> Optional[bytes]:
     need to be resident: compress_stream emits a frame per bounded
     batch and decompress_stream consumes them one at a time — the
     TPU-era version of the reference's 65,000-byte stdin loop
-    (n_ary_huffman.c:2508-2580)."""
-    header = stream.read(_HEADER.size)
-    if not header:
+    (n_ary_huffman.c:2508-2580).  In-band printable containers
+    (PRINTABLE_MAGIC) are detected per frame and returned as their
+    binary equivalent, so binary and printable frames may even be
+    mixed in one stream."""
+    sniff = stream.read(4)
+    if not sniff:
         return None
+    if len(sniff) < 4:
+        raise ValueError("truncated frame: header")
+    if sniff == PRINTABLE_MAGIC[:4]:
+        tail = stream.read(len(PRINTABLE_MAGIC) - 4)
+        if sniff + tail != PRINTABLE_MAGIC:
+            raise ValueError(f"bad magic {(sniff + tail)!r}")
+        return read_printable_frame(stream, magic_consumed=True)
+    header = sniff + stream.read(_HEADER.size - 4)
     if len(header) < _HEADER.size:
         raise ValueError("truncated frame: header")
     (magic, ver, flags, _codec, _arity, _bsize, nblocks, _total, _cl2, hcrc) = (

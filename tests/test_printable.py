@@ -70,3 +70,41 @@ def test_codec_stats_wired(rng):
     assert stats.hits > 0 and stats.literals > 0
     assert sum(stats.times_used_directly) == stats.hits
     assert "predicted" in stats.summary()
+
+
+def test_printable_streamed_multiframe(rng):
+    # streamed printable: one armored container per frame; read_frame
+    # auto-detects and decompress_stream consumes the concatenation
+    import io
+
+    from data_compression_tpu import api
+    from data_compression_tpu.config import CodecConfig
+
+    data = bytes(rng.integers(32, 127, size=5 * 2048, dtype=np.uint8))
+    cfg = CodecConfig(codec="huffman", arity=2, block_size=1024, chunk_syms=512)
+    buf = io.BytesIO()
+    st = api.compress_stream(
+        io.BytesIO(data), buf, cfg, batch_blocks=2, printable=True
+    )
+    assert st["frames"] > 1
+    blob = buf.getvalue()
+    assert all(0x20 <= b <= 0x7E or b == 0x0A for b in blob)  # isprint + \n
+    out = io.BytesIO()
+    st2 = api.decompress_stream(io.BytesIO(blob), out, CodecConfig())
+    assert out.getvalue() == data and st2["frames"] == st["frames"]
+
+
+def test_printable_mixed_binary_stream(rng):
+    # binary and printable frames may interleave in one stream
+    import io
+
+    from data_compression_tpu import api
+    from data_compression_tpu.config import CodecConfig
+
+    cfg = CodecConfig(codec="huffman", arity=2, block_size=1024, chunk_syms=512)
+    a = bytes(rng.integers(32, 127, size=3000, dtype=np.uint8))
+    b = bytes(rng.integers(32, 127, size=2000, dtype=np.uint8))
+    blob = api.compress(a, cfg, printable=True) + api.compress(b, cfg)
+    out = io.BytesIO()
+    api.decompress_stream(io.BytesIO(blob), out, CodecConfig())
+    assert out.getvalue() == a + b
