@@ -27,11 +27,15 @@ def _as_bytes(data: BytesLike) -> bytes:
     return bytes(data)
 
 
+STATS_CODECS = ("nybble", "small_byte", "small_nybble")
+
+
 def compress(
     data: BytesLike,
     config: Optional[CodecConfig] = None,
     meta: Optional[bytes] = None,
     printable: bool = False,
+    stats=None,
 ) -> bytes:
     """Compress a byte stream into a framed container.
 
@@ -43,12 +47,26 @@ def compress(
     reference's reserved-but-unimplemented '_' mode
     (small_compression.c:35-40): every block payload is an independent
     Z85 span, so the whole stream is isprint text and blocks stay
-    independently locatable (framing.frame_to_printable)."""
+    independently locatable (framing.frame_to_printable).
+
+    ``stats``: optional utils.debug.CodecStats collecting per-context
+    prediction/dictionary hit counters during encode (the reference's
+    times_used_directly, nybble_compression.c:543).  Supported by the
+    serial codecs (STATS_CODECS); collection routes their encode
+    through the host path (bit-identical payloads)."""
     config = config or CodecConfig()
     raw = _as_bytes(data)
     blocks, lengths = framing.split_blocks(raw, config.block_size)
     codec = get_codec(config)
-    result = codec.encode_blocks(blocks, lengths)
+    if stats is not None:
+        if config.codec not in STATS_CODECS:
+            raise ValueError(
+                f"stats collection supports codecs {STATS_CODECS}, "
+                f"not {config.codec!r}"
+            )
+        result = codec.encode_blocks(blocks, lengths, stats=stats)
+    else:
+        result = codec.encode_blocks(blocks, lengths)
 
     payloads, flags, crcs = [], [], []
     raw_lens = []
@@ -164,6 +182,7 @@ def compress_stream(
     config: Optional[CodecConfig] = None,
     batch_blocks: int = DEFAULT_BATCH_BLOCKS,
     printable: bool = False,
+    stats=None,
 ) -> dict:
     """Compress a binary stream into a concatenation of independent
     frames, holding at most ``batch_blocks`` blocks of input resident.
@@ -187,13 +206,13 @@ def compress_stream(
         chunk = fin.read(batch_bytes)
         if not chunk:
             break
-        out = compress(chunk, config, printable=printable)
+        out = compress(chunk, config, printable=printable, stats=stats)
         fout.write(out)
         total_in += len(chunk)
         total_out += len(out)
         frames += 1
     if frames == 0:  # empty input still yields one valid (empty) frame
-        out = compress(b"", config, printable=printable)
+        out = compress(b"", config, printable=printable, stats=stats)
         fout.write(out)
         total_out += len(out)
         frames = 1

@@ -77,6 +77,14 @@ def main(argv=None) -> int:
             help="small_byte: ISPRINT_IS_ALWAYS_LITERAL (0x1f) block "
             "mode for all-printable blocks (small_compression.c:36)",
         )
+        sp.add_argument(
+            "--stats", action="store_true",
+            help="serial codecs (nybble/small_*): print per-context "
+            "prediction/dictionary hit rates after compress (the "
+            "reference's times_used_directly counters, "
+            "nybble_compression.c:543); routes encode through the "
+            "host path",
+        )
 
     sp = sub.add_parser("compress", help="compress IN to OUT")
     add_codec_flags(sp)
@@ -128,12 +136,24 @@ def main(argv=None) -> int:
         # Streamed: holds at most batch_blocks x block_size resident,
         # so 1 GB+ inputs (and unbounded stdin) never double in RAM —
         # printable output armors each frame independently.
+        stats = None
+        if getattr(args, "stats", False):
+            if args.codec not in api.STATS_CODECS:
+                print(
+                    f"--stats supports codecs {api.STATS_CODECS}; "
+                    f"ignored for {args.codec}",
+                    file=sys.stderr,
+                )
+            else:
+                from data_compression_tpu.utils.debug import CodecStats
+
+                stats = CodecStats(16 if args.codec == "nybble" else 32)
         fin, fout = _open_in(args.input), _open_out(args.output)
         try:
             t0 = time.perf_counter()
             st = api.compress_stream(
                 fin, fout, _config(args), batch_blocks=args.batch_blocks,
-                printable=args.printable,
+                printable=args.printable, stats=stats,
             )
             dt = time.perf_counter() - t0
         finally:
@@ -150,6 +170,8 @@ def main(argv=None) -> int:
             f"{st['frames']} frame(s))",
             file=sys.stderr,
         )
+        if stats is not None:
+            print(f"stats: {stats.summary()}", file=sys.stderr)
         return 0
 
     if args.cmd == "decompress":

@@ -168,8 +168,10 @@ def decode_host(payload: bytes, raw_len: int, modify: bool = True) -> bytes:
 class NybbleCodec(Codec):
     name = "nybble"
 
-    def encode_blocks(self, blocks: np.ndarray, lengths: np.ndarray) -> EncodeResult:
-        if self.config.use_scan and blocks.shape[0] > 1:
+    def encode_blocks(
+        self, blocks: np.ndarray, lengths: np.ndarray, stats=None
+    ) -> EncodeResult:
+        if self.config.use_scan and blocks.shape[0] > 1 and stats is None:
             from data_compression_tpu.ops.scan_codecs import nybble_encode_blocks
 
             return EncodeResult(payloads=nybble_encode_blocks(blocks, lengths))
@@ -184,13 +186,16 @@ class NybbleCodec(Codec):
         ok = ~np.any((blocks >= 0x80) & pos, axis=1)
         payloads: List[Optional[bytes]] = [None] * B
         idx = np.flatnonzero(ok)
-        if native.load() is not None and idx.size:
+        # stats collection rides the host encoder (bit-identical output)
+        if native.load() is not None and idx.size and stats is None:
             enc = native.encode_batch("nybble", blocks[idx], lengths[idx])
             for k, i in enumerate(idx):
                 payloads[i] = enc[k]
         else:
             for i in idx:
-                payloads[i] = encode_host(blocks[i, : int(lengths[i])].tobytes())
+                payloads[i] = encode_host(
+                    blocks[i, : int(lengths[i])].tobytes(), stats=stats
+                )
         for i in np.flatnonzero(~ok):
             payloads[i] = blocks[i, : int(lengths[i])].tobytes()
         return EncodeResult(payloads=payloads)

@@ -161,9 +161,13 @@ class _ByteDict:
         return -1
 
 
-def small_byte_encode_host(src: bytes) -> bytes:
+def small_byte_encode_host(src: bytes, stats=None) -> bytes:
     """Greedy longest-match encoder (the real version of the stubbed
-    compress_byte_index, small_compression.c:507-565)."""
+    compress_byte_index, small_compression.c:507-565).
+
+    ``stats``: optional utils.debug.CodecStats(32) — per-context
+    dictionary-word hits vs literal emissions (the reference's
+    times_used_directly counters, small_compression.c:133-134)."""
     out = bytearray([EIGHT_BIT_PRUNED])
     if not src:
         return bytes(out)
@@ -188,6 +192,8 @@ def small_byte_encode_host(src: bytes) -> bytes:
             index = 0x80 + w
             length += 1
         out.append(index)
+        if stats is not None:
+            stats.hit(context) if index >= 0x80 else stats.literal()
         d.add(prev_context, prev_index, prev_pos, prev_len, src[pos])
         prev_context, prev_index = context, index
         prev_pos, prev_len = pos, length
@@ -225,7 +231,7 @@ def small_byte_decode_host(payload: bytes, raw_len: int) -> bytes:
     return bytes(out)
 
 
-def small_isprint_encode_host(src: bytes) -> bytes:
+def small_isprint_encode_host(src: bytes, stats=None) -> bytes:
     """ISPRINT_IS_ALWAYS_LITERAL encoder (mode byte 0x1f,
     small_compression.c:36 — reserved in the reference's enum, never
     implemented).  The mode's invariant is its name: any printable byte
@@ -261,6 +267,8 @@ def small_isprint_encode_host(src: bytes) -> bytes:
             index = int(_NP_BYTES[w])
             length += 1
         out.append(index)
+        if stats is not None:
+            stats.hit(context) if _NP_SLOT[index] >= 0 else stats.literal()
         d.add(
             prev_context, prev_index, prev_pos, prev_len, src[pos],
             prev_slot=int(_NP_SLOT[prev_index]),
@@ -395,9 +403,12 @@ def _byte_nybbles(data: bytes) -> List[int]:
     return out
 
 
-def small_nybble_encode_host(src: bytes) -> bytes:
+def small_nybble_encode_host(src: bytes, stats=None) -> bytes:
     """Spans index the FULL nybble stream (verbatim first byte
-    included), so the first lock-step insert is an ordinary span."""
+    included), so the first lock-step insert is an ordinary span.
+
+    ``stats``: optional utils.debug.CodecStats(32) — literal-nybble
+    emissions vs dictionary-word emissions per context."""
     out = bytearray([EIGHT_BIT_PRUNED])
     if not src:
         return bytes(out)
@@ -424,6 +435,11 @@ def small_nybble_encode_host(src: bytes) -> bytes:
             index = w
             length += 1
         out.append(index)
+        if stats is not None:
+            if _is_literal_index(index):
+                stats.literal()
+            else:
+                stats.hit(context)
         t.add(prev_context, prev_index, prev_pos, prev_len, nybs[pos])
         prev_context, prev_index = context, index
         prev_pos, prev_len = pos, length
@@ -472,7 +488,9 @@ def small_nybble_decode_host(payload: bytes, raw_len: int) -> bytes:
 class SmallByteCodec(Codec):
     name = "small_byte"
 
-    def encode_blocks(self, blocks: np.ndarray, lengths: np.ndarray) -> EncodeResult:
+    def encode_blocks(
+        self, blocks: np.ndarray, lengths: np.ndarray, stats=None
+    ) -> EncodeResult:
         from data_compression_tpu import native
 
         B = blocks.shape[0]
@@ -489,18 +507,19 @@ class SmallByteCodec(Codec):
             )
             for i in np.flatnonzero(printable & ok):
                 payloads[i] = small_isprint_encode_host(
-                    blocks[i, : int(lengths[i])].tobytes()
+                    blocks[i, : int(lengths[i])].tobytes(), stats=stats
                 )
             ok &= ~printable
         idx = np.flatnonzero(ok)
-        if native.load() is not None and idx.size:
+        # stats collection rides the host encoder (bit-identical output)
+        if native.load() is not None and idx.size and stats is None:
             enc = native.encode_batch("small_byte", blocks[idx], lengths[idx])
             for k, i in enumerate(idx):
                 payloads[i] = enc[k]
         else:
             for i in idx:
                 payloads[i] = small_byte_encode_host(
-                    blocks[i, : int(lengths[i])].tobytes()
+                    blocks[i, : int(lengths[i])].tobytes(), stats=stats
                 )
         for i in range(B):
             if payloads[i] is None:
@@ -541,17 +560,19 @@ class SmallByteCodec(Codec):
 class SmallNybbleCodec(Codec):
     name = "small_nybble"
 
-    def encode_blocks(self, blocks: np.ndarray, lengths: np.ndarray) -> EncodeResult:
+    def encode_blocks(
+        self, blocks: np.ndarray, lengths: np.ndarray, stats=None
+    ) -> EncodeResult:
         from data_compression_tpu import native
 
-        if native.load() is not None:
+        if native.load() is not None and stats is None:
             return EncodeResult(
                 payloads=native.encode_batch("small_nybble", blocks, lengths)
             )
         payloads = []
         for i in range(blocks.shape[0]):
             raw = blocks[i, : int(lengths[i])].tobytes()
-            payloads.append(small_nybble_encode_host(raw))
+            payloads.append(small_nybble_encode_host(raw, stats=stats))
         return EncodeResult(payloads=payloads)
 
     def decode_blocks(self, payloads, raw_lens, shared_table=None):

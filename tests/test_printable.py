@@ -108,3 +108,37 @@ def test_printable_mixed_binary_stream(rng):
     out = io.BytesIO()
     api.decompress_stream(io.BytesIO(blob), out, CodecConfig())
     assert out.getvalue() == a + b
+
+
+def test_stats_cli_flag(rng, tmp_path, capsys):
+    # --stats prints per-context hit rates for the serial codecs
+    # (times_used_directly, nybble_compression.c:543)
+    from data_compression_tpu.cli import main
+
+    src = tmp_path / "in.txt"
+    src.write_bytes(b"the theme then thews and the masses " * 100)
+    for codec in ("nybble", "small_byte", "small_nybble"):
+        rc = main([
+            "compress", "-c", codec, "--stats", "--no-device",
+            "--block-size", "1024", str(src), str(tmp_path / "out.dctz"),
+        ])
+        assert rc == 0
+        err = capsys.readouterr().err
+        assert "stats:" in err and "predicted" in err
+
+
+def test_stats_api_small_codecs(rng):
+    from data_compression_tpu.utils.debug import CodecStats
+    from data_compression_tpu.config import CodecConfig
+
+    data = b"banana banana banana bandana " * 200
+    for codec in ("small_byte", "small_nybble"):
+        st = CodecStats(32)
+        blob = api.compress(
+            data, CodecConfig(codec=codec, block_size=2048, chunk_syms=1024),
+            stats=st,
+        )
+        assert st.hits > 0
+        assert api.decompress(blob) == data  # stats path is bit-identical
+    with pytest.raises(ValueError):
+        api.compress(data, CodecConfig(codec="huffman"), stats=CodecStats())
