@@ -237,13 +237,15 @@ def bench_huffman_decode(data: bytes, arity: int = 2):
         ]
         for b in range(B)
     ]
-    payload_t, dl, db, dsym, dmeta = dk.prep_decode_inputs(
+    payload_t, dl, db, dsym, dmeta, nseg_cap = dk.prep_decode_inputs(
         payloads, tables, arity=arity
     )
 
     @jax.jit
     def decode_step(p, dl, db, dsym, dmeta):
-        out = dk._decode_pallas(p, dl, db, dsym, dmeta, arity=arity)
+        out = dk._decode_pallas(
+            p, dl, db, dsym, dmeta, arity=arity, nseg_cap=nseg_cap
+        )
         mix = jnp.tile(out, (1, p.shape[1] // out.shape[1] + 1, 1))[
             :, : p.shape[1], :
         ]
@@ -284,6 +286,60 @@ def bench_e2e_device(data: bytes):
 
     best = time_chain(step, dev, lens_dev, iters=4, trials=2)
     return len(data) / best / 1e9
+
+
+def bench_e2e_device_decompress(data: bytes):
+    """Steady-state throughput of the device-resident DECOMPRESS
+    pipeline (device_api._decode_fn): on-device canonical decode-table
+    build from wire length rows + fused Pallas decode, one dispatch —
+    the inverse of e2e_device_gbps.  Also returns the decode upload
+    ratio (padded payload cells / compressed bytes): the payload
+    buffer is sized to the batch max chunk (bucketed), VERDICT r4 #5."""
+    import jax
+    import jax.numpy as jnp
+
+    from data_compression_tpu import device_api
+    from data_compression_tpu.ops.pallas import decode_kernel as dk
+    from data_compression_tpu.ops.pallas.encode_kernel import (
+        LANES,
+        encode_blocks_pallas,
+    )
+
+    blocks, lengths, tables, _, _, _, _ = _prep_huffman(data, 2)
+    B = blocks.shape[0]
+    out0, nb_chunks, _ = encode_blocks_pallas(
+        jnp.asarray(blocks), lengths, tables, 2
+    )
+    packed_np, nb_np = np.asarray(out0), np.asarray(nb_chunks)
+    payloads = [
+        [
+            packed_np[b * LANES + c, : nb_np[b * LANES + c]].tobytes()
+            for c in range(LANES)
+        ]
+        for b in range(B)
+    ]
+    payload_t, _, _, _, meta, nseg_cap = dk.prep_decode_inputs(
+        payloads, tables, arity=2
+    )
+    comp_bytes = int(nb_np.sum())
+    upload_ratio = payload_t.size / max(1, comp_bytes)
+    rows = np.stack([t.lengths.astype(np.uint8) for t in tables])
+    BP = payload_t.shape[0] * dk.G8
+    rows_full = np.zeros((BP, 256), np.uint8)
+    rows_full[:B] = rows
+    rows_d = jax.device_put(rows_full)
+    meta_d = jnp.asarray(meta)
+    fd = device_api._decode_fn(2, 512, False, nseg_cap)
+
+    def step(p, rows_d, meta_d):
+        out = fd(p, rows_d, meta_d)
+        mix = jnp.tile(out, (1, p.shape[1] // out.shape[1] + 1, 1))[
+            :, : p.shape[1], :
+        ]
+        return p ^ mix
+
+    best = time_chain(step, payload_t, rows_d, meta_d, iters=4, trials=2)
+    return len(data) / best / 1e9, upload_ratio
 
 
 def bench_serial_host(mb: int = SERIAL_MB) -> dict:
@@ -448,6 +504,12 @@ def main() -> int:
             detail["e2e_device_gbps"] = round(bench_e2e_device(data), 3)
         except Exception as e:  # pragma: no cover
             detail["e2e_device_gbps"] = f"error: {e}"
+        try:
+            g, ur = bench_e2e_device_decompress(data)
+            detail["e2e_device_decompress_gbps"] = round(g, 3)
+            detail["decode_upload_ratio"] = round(ur, 3)
+        except Exception as e:  # pragma: no cover
+            detail["e2e_device_decompress_gbps"] = f"error: {e}"
         small = make_corpus(SMALL_MB * 1024 * 1024, seed=1)
         for a in (3, 16):
             g, r = bench_huffman_encode(small, a)

@@ -68,17 +68,17 @@ def _tables_fn(arity: int):
 @functools.lru_cache(maxsize=None)
 def _encode_fn(arity: int, chunk_syms: int, out_cap: int,
                interpret: bool = False):
-    """out_cap: output capacity in BYTES (rounded internally).  For
-    n=2/16 the pipeline is the block-compact formulation (in-VMEM chunk
-    concatenation + ordered-DMA block compaction at 1024-aligned
-    offsets; returned flat is an int32 view of the payload bytes); n=3
-    falls back to the XLA chunk-gather compaction."""
+    """out_cap: output capacity in BYTES (rounded internally).  All
+    fast arities (2/3/16) ride the block-compact formulation (in-VMEM
+    chunk concatenation — n=3 with an in-kernel trit->wire-byte repack
+    first — + ordered-DMA block compaction at 1024-aligned offsets;
+    returned flat is an int32 view of the payload bytes)."""
     import jax
     import jax.numpy as jnp
 
     D = ARITY_DIGITS_PER_BYTE[arity]
 
-    if arity in (2, 16) and not interpret:
+    if arity in (2, 3, 16) and not interpret:
         from data_compression_tpu.ops.pallas.compact_kernel import (
             compact_block_rows,
         )
@@ -175,7 +175,7 @@ def compress_blocks_device(
     arity = config.arity
     B, S = blocks.shape
     C = S // LANES
-    aligned = arity in (2, 16) and not interpret
+    aligned = arity in (2, 3, 16) and not interpret
     lens_dev = jnp.asarray(np.asarray(raw_lens, np.int32))
     dense, meta, rows = _tables_fn(arity)(blocks, lens_dev)
     cap = round_cap(out_cap if out_cap is not None else B * S)
@@ -196,7 +196,8 @@ def compress_blocks_device(
 
 
 @functools.lru_cache(maxsize=None)
-def _decode_fn(arity: int, chunk_syms: int, interpret: bool = False):
+def _decode_fn(arity: int, chunk_syms: int, interpret: bool = False,
+               nseg_cap: Optional[int] = None):
     import jax
     import jax.numpy as jnp
 
@@ -226,13 +227,18 @@ def _decode_fn(arity: int, chunk_syms: int, interpret: bool = False):
             chunk_syms=chunk_syms,
             arity=arity,
             interpret=interpret,
+            nseg_cap=nseg_cap,
         )
 
     return fn
 
 
 def decode_blocks_device(payload_t, table_rows, meta, arity=2, chunk_syms=512,
-                         interpret=False):
+                         interpret=False, nseg_cap=None):
     """One-dispatch decode: padded payload cells + wire length tables ->
-    [NC, 8*C, 128] symbols, all device-resident (n=2 Pallas geometry)."""
-    return _decode_fn(arity, chunk_syms, interpret)(payload_t, table_rows, meta)
+    [NC, 8*C, 128] symbols, all device-resident (n=2 Pallas geometry).
+    ``nseg_cap``: static segment bound payload_t was packed to
+    (decode_kernel.prep_decode_inputs returns it)."""
+    return _decode_fn(arity, chunk_syms, interpret, nseg_cap)(
+        payload_t, table_rows, meta
+    )

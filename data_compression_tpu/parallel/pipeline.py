@@ -157,12 +157,14 @@ def make_shardmap_encode_step(
 
 
 def make_shardmap_decode_step(
-    mesh: Mesh, chunk_syms: int, interpret: bool = False
+    mesh: Mesh, chunk_syms: int, interpret: bool = False,
+    nseg_cap: int | None = None,
 ):
     """shard_map variant of decode: each device runs the fused Pallas
     decode kernel (n=2) on its local share of 8-block cells.  Inputs
     are prep_decode_inputs()'s arrays, sharded over the leading cell
-    axis; returns [NC, 8*C, 128] u8 shards."""
+    axis (``nseg_cap`` is its static payload-geometry bound); returns
+    [NC, 8*C, 128] u8 shards."""
     from jax import shard_map
 
     from data_compression_tpu.ops.pallas import decode_kernel as dk
@@ -176,6 +178,7 @@ def make_shardmap_decode_step(
             meta,
             chunk_syms=chunk_syms,
             interpret=interpret,
+            nseg_cap=nseg_cap,
         )
 
     fn = shard_map(
@@ -454,9 +457,11 @@ def decompress_sharded(
         while len(pb) % need:
             pb.append([])
             btables.append(btables[0])
-        args = dk.prep_decode_inputs(pb, btables, C)
+        *args, nseg_cap = dk.prep_decode_inputs(pb, btables, C)
         dp1 = NamedSharding(mesh, P("data"))
-        step_p = make_shardmap_decode_step(mesh, C, interpret=plat != "tpu")
+        step_p = make_shardmap_decode_step(
+            mesh, C, interpret=plat != "tpu", nseg_cap=nseg_cap
+        )
         out_dev = step_p(*[jax.device_put(a, dp1) for a in args])
         arr = np.asarray(out_dev).reshape(-1, C, 128).transpose(0, 2, 1)
         for k, (i, _chunks, raw_len) in enumerate(hblocks):

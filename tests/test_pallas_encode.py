@@ -102,3 +102,58 @@ def test_pallas_matches_oracle(arity, rng):
             assert got == expect, f"arity {arity} block {b} chunk {c}"
             if cnt == 0:
                 assert nbytes[k] == 0
+
+
+@pytest.mark.parametrize("arity", [2, 3, 16])
+def test_pallas_compact_block_contiguous(arity, rng):
+    """Block-compacting kernel (interpret): the [128, Wf] int32 rows
+    hold the block's chunk payloads CONTIGUOUSLY in memory order —
+    byte-identical to the per-chunk encoder's concatenation.  n=3
+    exercises the in-kernel trit->wire-byte repack + generic concat
+    (round-5: trinary admitted to the compact path)."""
+    import jax.numpy as jnp
+
+    from data_compression_tpu.config import ARITY_DIGITS_PER_BYTE
+    from data_compression_tpu.huffman import batched as hb
+    from data_compression_tpu.ops.pallas.encode_kernel import (
+        LANES,
+        _encode_pallas_compact,
+        encode_blocks_pallas,
+    )
+
+    C = 128
+    S = C * LANES
+    data = np.frombuffer(ascii_text(rng, 2 * S), np.uint8).reshape(2, S).copy()
+    raw_lens = np.array([S, S - 3 * C - 7], np.int64)
+    hists = np.stack(
+        [np.bincount(data[i, : raw_lens[i]], minlength=256) for i in range(2)]
+    ).astype(np.int64)
+    tb = hb.codes_batch(hb.capped_lengths_batch(hists, arity), arity)
+    tables = [tb.table(i) for i in range(2)]
+
+    # reference: per-chunk wire payloads from the proven kernel path
+    out, nbytes, _ = encode_blocks_pallas(
+        data, raw_lens, tables, arity, interpret=True
+    )
+    out, nbytes = np.asarray(out), np.asarray(nbytes)
+
+    dense = hb.dense_rows(tb)
+    meta = np.stack([tb.n_used, raw_lens.astype(np.int32)], axis=1).astype(
+        np.int32
+    )
+    syms_t = jnp.transpose(data.reshape(2, LANES, C), (0, 2, 1))
+    words, nbd = _encode_pallas_compact(
+        syms_t, jnp.asarray(dense), jnp.asarray(meta), arity=arity,
+        chunk_syms=C, interpret=True,
+    )
+    D = ARITY_DIGITS_PER_BYTE[arity]
+    digits = np.transpose(np.asarray(nbd), (0, 2, 1)).reshape(2, LANES)
+    nb = -(-digits // D)
+    wbytes = np.asarray(words).view(np.int32).reshape(2, -1).view(np.uint8)
+    for b in range(2):
+        want = b"".join(
+            out[b * LANES + c, : nbytes[b * LANES + c]].tobytes()
+            for c in range(LANES)
+        )
+        assert int(nb[b].sum()) == len(want)
+        assert wbytes[b, : len(want)].tobytes() == want, f"arity {arity} block {b}"

@@ -204,7 +204,7 @@ def main() -> int:
             ]
             for b in range(B)
         ]
-        payload_t, dl, db, dsym, dmeta = dk.prep_decode_inputs(
+        payload_t, dl, db, dsym, dmeta, nseg_cap = dk.prep_decode_inputs(
             payloads, tables, arity=arity
         )
         dec = {}
@@ -212,7 +212,8 @@ def main() -> int:
             @jax.jit
             def dstep(p, dl, db, dsym, dmeta, stages=stages):
                 out = dk._decode_pallas(
-                    p, dl, db, dsym, dmeta, stages=stages, arity=arity
+                    p, dl, db, dsym, dmeta, stages=stages, arity=arity,
+                    nseg_cap=nseg_cap,
                 )
                 mix = jnp.tile(out, (1, p.shape[1] // out.shape[1] + 1, 1))[
                     :, : p.shape[1], :
