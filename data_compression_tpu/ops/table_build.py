@@ -99,57 +99,65 @@ def _build_once(hists, arity: int):
         nt=jnp.zeros(B, jnp.int32),  # node FIFO tail
         remaining=k + d,
         node_cnt=jnp.full((B, T), INF, jnp.int32),
-        parent=jnp.full((B, ids + 1), -1, jnp.int32),  # [.., ids] = dump
     )
 
-    # _KM merges per lax.scan step: the merges stay strictly sequential
-    # (a new node's count feeds later pops) but the scan's serial
-    # per-iteration overhead amortizes _KM-fold — the tree build was the
-    # second-biggest stage of the device pipeline (round-5 profile).
+    # _KM merges per lax.scan step; the parent array stays OUT of the
+    # scan carry — each merge just emits its child ids (a [B, 2] leaf)
+    # and ONE post-scan scatter builds the pointers.  Keeping a
+    # [B, ids] parent in the carry forced a full-width rewrite per
+    # merge (~8 MB of HBM traffic each); emitting ys instead halved
+    # the whole build, 12.4 -> 6.1 ms at B=1024 (round-5 profile).
     KM = _KM
     TS = -(-T // KM)  # scan steps
 
     def one_merge(st, t):
         active = st["remaining"] > 1
         lp, nh, nt = st["lp"], st["nh"], st["nt"]
-        parent = st["parent"]
         total = jnp.zeros(B, jnp.int32)
+        kids = []
         for _ in range(arity):
             lc = jnp.where(lp < NL, _take1(leaf_counts, lp), INF)
             nc = jnp.where(nh < nt, _take1(st["node_cnt"], nh), INF)
             pick_leaf = lc <= nc
             child = jnp.where(pick_leaf, lp, NL + nh)
-            child = jnp.where(active, child, ids)  # dump slot
-            parent = _set1(
-                parent, child, jnp.where(active, NL + t, -1)
-            )
+            kids.append(jnp.where(active, child, ids))  # dump slot
             total = total + jnp.where(active, jnp.minimum(lc, nc), 0)
             lp = jnp.where(active & pick_leaf, lp + 1, lp)
             nh = jnp.where(active & ~pick_leaf, nh + 1, nh)
-            st = dict(st, lp=lp, nh=nh, parent=parent)
         # inactive blocks steer the write out of range (a no-op)
         node_cnt = _set1(
             st["node_cnt"], jnp.where(active, nt, T), total
         )
         nt = jnp.where(active, nt + 1, nt)
         remaining = st["remaining"] - jnp.where(active, n1, 0)
-        return dict(
-            lp=st["lp"], nh=st["nh"], nt=nt, remaining=remaining,
-            node_cnt=node_cnt, parent=st["parent"],
+        return (
+            dict(lp=lp, nh=nh, nt=nt, remaining=remaining,
+                 node_cnt=node_cnt),
+            jnp.stack(kids, axis=1),  # [B, arity]
         )
 
     def merge_step(st, ts):
         # merges past T (the KM-padded tail) are inactive no-ops: every
         # block's `remaining` has reached 1 by then, and node_cnt is
-        # never read after the scan (only `parent` is).
+        # never read after the scan.
+        outs = []
         for j in range(KM):
-            st = one_merge(st, ts * KM + j)
-        return st, None
+            st, kk = one_merge(st, ts * KM + j)
+            outs.append(kk)
+        return st, jnp.concatenate(outs, axis=1)
 
-    state, _ = jax.lax.scan(
+    state, ys = jax.lax.scan(
         merge_step, state, jnp.arange(TS, dtype=jnp.int32)
     )
-    parent = state["parent"][:, : ids]
+    # ys [TS, B, KM*arity] -> children in pop order [B, TS*KM*arity];
+    # child at flat index q was consumed by merge q // arity
+    cids = jnp.transpose(ys, (1, 0, 2)).reshape(B, -1)
+    pvals = NL + (jnp.arange(cids.shape[1], dtype=jnp.int32) // arity)
+    parent = (
+        jnp.full((B, ids + 1), -1, jnp.int32)
+        .at[b_ix[:, None], cids]
+        .set(jnp.broadcast_to(pvals[None, :], cids.shape), mode="drop")
+    )[:, :ids]
 
     if _DEPTH_DOUBLING:
         # Internal-node depths by POINTER DOUBLING: depth(u) = hops to
@@ -185,21 +193,34 @@ def _build_once(hists, arity: int):
             depth_step, idepth0, jnp.arange(T - 1, -1, -1, dtype=jnp.int32)
         )
 
-    # Leaf depths in one vectorized shot (leaf parents are internal).
-    pl = parent[:, :NL]
-    leaf_depth = jnp.where(
-        pl >= 0,
-        jnp.take_along_axis(idepth, jnp.clip(pl - NL, 0, T - 1), axis=1) + 1,
-        0,
-    )  # [B, NL] by sorted position
-
-    # Scatter depths back: sorted position -> seniority idx -> symbol.
-    by_rank = jnp.zeros((B, NL), jnp.int32).at[
-        b_ix[:, None], jnp.clip(leaf_idx, 0, 511)
-    ].set(leaf_depth, mode="drop")
-    lengths = jnp.where(
-        used, jnp.take_along_axis(by_rank, jnp.clip(rank, 0, NL - 1), axis=1), 0
-    )
+    # Leaf depths + the map back to symbols, as CHUNKED one-hot
+    # contractions: the former full-width take_along_axis/scatter pair
+    # serialized per element on TPU (~12 ms of the 22 ms table stage at
+    # B=1024, round-5 profile); compare+reduce over 32-wide index
+    # chunks fuses on the VPU.
+    CH = 32
+    pli = parent[:, :NL] - NL  # internal parent idx per sorted pos
+    leaf_depth = jnp.zeros((B, NL), jnp.int32)
+    for u0 in range(0, T, CH):
+        w = min(CH, T - u0)
+        dep_c = idepth[:, u0 : u0 + w]
+        uu = (u0 + jnp.arange(w, dtype=jnp.int32))[None, None, :]
+        eq = pli[:, :, None] == uu
+        leaf_depth = leaf_depth + jnp.sum(
+            jnp.where(eq, dep_c[:, None, :] + 1, 0), axis=2
+        )
+    # sorted position -> seniority (leaf_idx) -> symbol (rank): used
+    # symbols' seniorities are unique, dummies (seniority >= k) never
+    # match a real rank, INF slots carry seniority 511
+    lengths = jnp.zeros((B, S), jnp.int32)
+    for p0 in range(0, NL, CH):
+        li_c = leaf_idx[:, p0 : p0 + CH]
+        ld_c = leaf_depth[:, p0 : p0 + CH]
+        eq = rank[:, :, None] == li_c[:, None, :]
+        lengths = lengths + jnp.sum(
+            jnp.where(eq, ld_c[:, None, :], 0), axis=2
+        )
+    lengths = jnp.where(used, lengths, 0)
     # Degenerate single-symbol alphabet: one digit (tree.py:76-81).
     lengths = jnp.where((k == 1)[:, None] & used, 1, lengths)
     return lengths.astype(jnp.int32)
