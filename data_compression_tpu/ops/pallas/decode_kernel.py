@@ -130,13 +130,12 @@ def seg_bucket(C: int, arity: int, nseg_req: int) -> int:
     return cap_segs
 
 
-# --- n=3 host-side lookup tables (kernel constants, 2 gather rows each)
+# --- n=3 host-side lookup table (kernel constant, 2 gather rows)
 # PAT: wire byte -> its 5 trits as 2-bit fields, FIRST trit most
-# significant (10-bit pattern, digit-reversed like the n=2 bit reverse).
-# T4: a byte of 4 packed fields (f0 f1 f2 f3, f0 most significant) ->
-# its base-3 value f0*27+f1*9+f2*3+f3.
-# PREM: ((r-1) << 6) | t for r in 1..3 -> base-3 value of the LAST r
-# fields of the 6-bit field group t (partial-prefix remainder).
+# significant (10-bit pattern, digit-reversed like the n=2 bit
+# reverse), used by the word-fill stage.  (Length detection and rank
+# need no tables since round 5: limits compare in field space and the
+# prefix value is plain arithmetic — see _kernel_body.)
 def _n3_tables() -> np.ndarray:
     pat = np.zeros(256, np.int32)
     for b in range(243):
@@ -146,34 +145,21 @@ def _n3_tables() -> np.ndarray:
             v |= (t % 3) << (8 - 2 * k)
             t //= 3
         pat[b] = v
-    t4 = np.zeros(256, np.int32)
-    for x in range(256):
-        t4[x] = (
-            ((x >> 6) & 3) * 27 + ((x >> 4) & 3) * 9 + ((x >> 2) & 3) * 3
-            + (x & 3)
-        )
-    prem = np.zeros(256, np.int32)
-    for r in (1, 2, 3):
-        for t in range(1 << (2 * r)):
-            v = 0
-            for k in range(r - 1, -1, -1):
-                v = v * 3 + ((t >> (2 * k)) & 3)
-            prem[((r - 1) << 6) | t] = v
-    return np.stack([pat, t4, prem]).reshape(3, 2, 128)
+    return pat.reshape(1, 2, 128)
 
 
 _N3_TABLES = _n3_tables()
 
 
-PREPACK = 4  # digits packed arithmetically before the merge tree
+PREPACK = 8  # digits packed arithmetically before the merge tree
 
 
 def _seg_merge_sched(C: int):
     """Merge-tree schedule for one segment in BLOCK-MAJOR layout.  The
-    tree's leaves are 4-digit groups pre-packed arithmetically (four
-    8-bit items in one <= 32-bit word — the stage-5 prepack), so the
-    node axis starts at G8 * SEG/4 instead of G8 * SEG: the two most
-    row-expensive levels never exist.  Pairs always combine adjacent
+    tree's leaves are PREPACK-digit groups packed arithmetically (the
+    stage-5 prepack: eight 8-bit items in a two-word leaf), so the
+    node axis starts at G8 * SEG/PREPACK instead of G8 * SEG: the
+    three most row-expensive levels never exist.  Pairs always combine adjacent
     digit groups of the same block and every level keeps the encoder's
     array shapes.  The tree stops at P = 8: the survivors are the
     per-block buffers.  A segment emits at most min(SEG, C) symbols
@@ -182,7 +168,7 @@ def _seg_merge_sched(C: int):
     seg_out_bits = min(SEG, C) * 8
     seg_wf_max = seg_out_bits // 32
     sched = []
-    P, W = G8 * SEG // PREPACK, 1
+    P, W = G8 * SEG // PREPACK, PREPACK * 8 // 32  # two-word leaves
     level = 0
     while P > G8:
         level += 1
@@ -325,10 +311,29 @@ def _kernel_body(stages, C, arity, tabs_ref, limit_ref, bmf_ref, syms_ref,
     # stage 0: digit-reversed packed words for the walked region only
     _fill_reversed_words(pay_ref, words_ref, nseg, arity, tabs_ref)
 
-    # per-block table columns, lane-broadcast once: [8, 128] each
+    # per-block table columns, lane-broadcast once: [8, 128] each.
+    # n=3 compares code lengths DIRECTLY IN FIELD SPACE: zero-padded
+    # 2-bit trit fields order windows lexicographically, which equals
+    # base-3 value order, so converting the 16 scalar limits per block
+    # to their 15-trit field packing (here, once) replaces the per-
+    # window value-space conversion gathers that dominated n=3 decode
+    # (stage 1 = 34% of kernel time, ABLATION_r05).  A limit of 3^15
+    # (complete tree) has no 15-trit packing; it clamps to INT32_MAX,
+    # which no 30-bit field window reaches.
+    limvals = [None] * (L + 1)
+    for l in range(1, L + 1):
+        v = limit_ref[0, :, l][:, None]  # [G8, 1]
+        if arity == 3:
+            f = jnp.zeros_like(v)
+            rem = v
+            for k in range(L):
+                f = f | ((rem % 3) << (2 * k))
+                rem = rem // 3
+            v = jnp.where(v >= 3**15, jnp.int32(2**31 - 1), f)
+        limvals[l] = v
     lim8 = [None] * (L + 1)
     for l in range(1, L + 1):
-        lim8[l] = jnp.broadcast_to(limit_ref[0, :, l][:, None], (G8, LANES))
+        lim8[l] = jnp.broadcast_to(limvals[l], (G8, LANES))
     bmf_all = bmf_ref[0]  # [G8, 128]: lane l of row b = bmf[b][l]
 
     accw_ref[:, :] = jnp.zeros((G8 * seg_wf, LANES), jnp.int32)
@@ -341,28 +346,29 @@ def _kernel_body(stages, C, arity, tabs_ref, limit_ref, bmf_ref, syms_ref,
         for h4 in range(SEG // SUB):
             h = sg * (SEG // SUB) + h4
             W3 = _windows_for_subseg(words_ref, h, arity)  # [SUB, G8, LANES]
-            if arity == 3:
-                # field space -> base-3 value space: three 4-field
-                # gathers + the 3-field remainder (module tables)
-                t4lo, t4hi = tabs_ref[0, 2:3, :], tabs_ref[0, 3:4, :]
-                prlo, prhi = tabs_ref[0, 4:5, :], tabs_ref[0, 5:6, :]
-                Wf2 = W3.reshape(SUB * G8, LANES)
-                g0 = _gather256(t4lo, t4hi, (Wf2 >> 22) & 0xFF)
-                g1 = _gather256(t4lo, t4hi, (Wf2 >> 14) & 0xFF)
-                g2 = _gather256(t4lo, t4hi, (Wf2 >> 6) & 0xFF)
-                v8 = g0 * 81 + g1
-                v12 = v8 * 81 + g2
-                rem = _gather256(prlo, prhi, (2 << 6) | (Wf2 & 0x3F))
-                Wval = (v12 * 27 + rem).reshape(SUB, G8, LANES)
-            else:
-                Wval = W3
             ln = jnp.ones((SUB, G8, LANES), jnp.int32)
             for l in range(1, L):
-                ln = ln + (Wval >= lim8[l]).astype(jnp.int32)
+                # n=3 included: the field-space compare (limits are
+                # field-packed above, lexicographic == base-3 order)
+                ln = ln + (W3 >= lim8[l]).astype(jnp.int32)
+            if arity == 3:
+                # chunk values of the window's three 4-field groups,
+                # by plain arithmetic (replaced three 256-entry table
+                # gathers per window — ABLATION_r05's n=3 stage-1 wall)
+                def t4v(x):
+                    return (
+                        ((x >> 6) & 3) * 27 + ((x >> 4) & 3) * 9
+                        + ((x >> 2) & 3) * 3 + (x & 3)
+                    )
+
+                c0 = t4v((W3 >> 22) & 0xFF)
+                c1 = t4v((W3 >> 14) & 0xFF)
+                v8 = c0 * 81 + c1
+                v12 = v8 * 81 + t4v((W3 >> 6) & 0xFF)
             # rank = bmf[len] + value of the first len digits: per-block
             # 2-D lane gather over a 16-entry row (Mosaic supports 2-D
             # gathers only) + one vector-amount shift (power-of-two
-            # arities) or the gathered prefix decomposition (n=3)
+            # arities) or the arithmetic prefix decomposition (n=3)
             cols = []
             for b in range(G8):
                 ln_b = ln[:, b, :]
@@ -371,29 +377,36 @@ def _kernel_body(stages, C, arity, tabs_ref, limit_ref, bmf_ref, syms_ref,
                     ln_b, axis=1,
                 )
                 if arity == 3:
-                    g0b = g0.reshape(SUB, G8, LANES)[:, b, :]
-                    v8b = v8.reshape(SUB, G8, LANES)[:, b, :]
-                    v12b = v12.reshape(SUB, G8, LANES)[:, b, :]
                     a = jax.lax.shift_right_logical(ln_b, 2)
                     r = ln_b & 3
                     base = jnp.where(
                         a == 0, 0,
-                        jnp.where(a == 1, g0b, jnp.where(a == 2, v8b, v12b)),
+                        jnp.where(
+                            a == 1, c0[:, b, :],
+                            jnp.where(a == 2, v8[:, b, :], v12[:, b, :]),
+                        ),
                     )
                     x = jax.lax.shift_right_logical(
                         W3[:, b, :], 30 - 2 * ln_b
                     ) & ((1 << (2 * r)) - 1)
+                    # value of the r-field remainder, r in 0..3
                     part = jnp.where(
-                        r > 0,
-                        _gather256(prlo, prhi, ((r - 1) << 6) | x),
-                        0,
+                        r == 0, 0,
+                        jnp.where(
+                            r == 1, x & 3,
+                            jnp.where(
+                                r == 2,
+                                ((x >> 2) & 3) * 3 + (x & 3),
+                                ((x >> 4) & 3) * 9 + ((x >> 2) & 3) * 3
+                                + (x & 3),
+                            ),
+                        ),
                     )
                     pw3 = jnp.where(
                         r == 0, 1,
                         jnp.where(r == 1, 3, jnp.where(r == 2, 9, 27)),
                     )
-                    vlen = base * pw3 + part
-                    rank = bmf_g + vlen
+                    rank = bmf_g + base * pw3 + part
                 else:
                     rank = bmf_g + jax.lax.shift_right_logical(
                         W3[:, b, :], bpdbits * (L - ln_b)
@@ -433,25 +446,39 @@ def _kernel_body(stages, C, arity, tabs_ref, limit_ref, bmf_ref, syms_ref,
             accb_ref[:, :] = accb_ref[:, :] ^ packed_ref[0:G8, :]
             return dist
 
-        # stage 5: 4-digit arithmetic pre-pack IN the digit-major layout
-        # (every slice is a vreg-aligned 8-row block), then ONE 4x
+        # stage 5: 8-digit arithmetic pre-pack IN the digit-major layout
+        # (every slice is a vreg-aligned 8-row block), then ONE 8x
         # smaller transpose to block-major and the merge tree on the
-        # encoder's proven shapes.  Packing four 8-bit items into one
-        # <= 32-bit word with plain shifts removes the merge tree's two
-        # most row-expensive levels (P = 4096 and 2048).
-        it = packed_ref[:, :].reshape(SEG // 4, 4, G8, LANES)
-        v = [jnp.maximum(it[:, k] - 1, 0) for k in range(4)]
-        l = [jnp.where(it[:, k] > 0, 8, 0) for k in range(4)]
-        v01 = v[0] | jax.lax.shift_left(v[1], l[0])
-        l01 = l[0] + l[1]
-        v23 = v[2] | jax.lax.shift_left(v[3], l[2])
-        # l01 <= 16 and v23 <= 16 bits, so the pack stays in one word
-        vv = v01 | jax.lax.shift_left(v23, l01)  # [SEG/4, G8, LANES]
-        ll = l01 + l[2] + l[3]
-        vb = jnp.transpose(vv, (1, 0, 2))  # block-major groups
+        # encoder's proven shapes.  Packing eight 8-bit items into a
+        # two-word leaf with plain shifts removes the merge tree's
+        # three most row-expensive levels (P = 4096, 2048, 1024).
+        it = packed_ref[:, :].reshape(SEG // 8, 8, G8, LANES)
+        v = [jnp.maximum(it[:, k] - 1, 0) for k in range(8)]
+        l = [jnp.where(it[:, k] > 0, 8, 0) for k in range(8)]
+
+        def pack4(v, l):
+            # four items -> one <= 32-bit word (lengths sum <= 32)
+            v01 = v[0] | jax.lax.shift_left(v[1], l[0])
+            l01 = l[0] + l[1]
+            v23 = v[2] | jax.lax.shift_left(v[3], l[2])
+            return v01 | jax.lax.shift_left(v23, l01), l01 + l[2] + l[3]
+
+        va, la = pack4(v[:4], l[:4])
+        vb4, lb4 = pack4(v[4:], l[4:])
+        # funnel the second 4-group across the word boundary: la can be
+        # exactly 32 (shift amounts masked/selected accordingly)
+        w0 = va | jnp.where(la < 32, jax.lax.shift_left(vb4, la), 0)
+        w1 = jnp.where(
+            la == 0, 0, jax.lax.shift_right_logical(vb4, (32 - la) & 31)
+        )
+        ll = la + lb4
+        vb0 = jnp.transpose(w0, (1, 0, 2))  # block-major groups
+        vb1 = jnp.transpose(w1, (1, 0, 2))
         lb = jnp.transpose(ll, (1, 0, 2))
-        words = vb.reshape(G8 * SEG // 4, 1, LANES)
-        lw = lb.reshape(G8 * SEG // 4, LANES)
+        words = jnp.stack([vb0, vb1], axis=2).reshape(
+            G8 * SEG // 8, 2, LANES
+        )
+        lw = lb.reshape(G8 * SEG // 8, LANES)
         for (P, Wc, W2) in sched:
             x = words.reshape(P // 2, 2, Wc, LANES)
             a, b = x[:, 0], x[:, 1]
@@ -531,12 +558,12 @@ def _decode_pallas(payload_t, limit, bmf, syms, meta, *, interpret=False,
     Cc = chunk_syms
     L = _adim(arity)[3]
     _, _, mbp, seg_wf, pw = _geom(Cc, arity, nseg_cap)
-    tabs = jnp.asarray(_N3_TABLES.reshape(1, 6, 128))
+    tabs = jnp.asarray(_N3_TABLES.reshape(1, 2, 128))
     return pl.pallas_call(
         _make_kernel(stages, Cc, arity),
         grid=(NC,),
         in_specs=[
-            pl.BlockSpec((1, 6, LANES), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, LANES), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, G8, L + 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, G8, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2 * G8, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
