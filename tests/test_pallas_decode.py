@@ -78,3 +78,32 @@ def test_pallas_decode_arity3(rng):
     from data_compression_tpu.ops.pallas.decode_kernel import LANES
 
     _roundtrip(rng, 128, [128 * LANES, 4321], arity=3)
+
+
+def test_seg_bucket_geometry():
+    # payload geometry buckets: smallest allowed cap >= requirement,
+    # n=3 rounds to whole 80-trit packing groups, never exceeds the
+    # worst-case capacity
+    from data_compression_tpu.ops.pallas.decode_kernel import (
+        SEG,
+        _geom,
+        seg_bucket,
+    )
+
+    for arity in (2, 3, 16):
+        cap, capp, mbp_cap, _, _ = _geom(512, arity)
+        cap_segs = capp // SEG
+        for req in (1, 2, 5, 7, cap_segs, cap_segs + 10):
+            b = seg_bucket(512, arity, req)
+            assert b <= cap_segs
+            if req <= cap_segs:
+                assert b >= min(req, cap_segs)
+            _, capp_b, mbp_b, _, _ = _geom(512, arity, b)
+            assert mbp_b <= mbp_cap
+            if arity == 3:
+                # 80-trit groups: byte count must divide evenly
+                assert (capp_b * 2) % 32 == 0 and capp_b % 5 == 0
+    # requirement within capacity is always satisfied by the bucket
+    assert seg_bucket(512, 2, 7) >= 7
+    _, capp7, mbp7, _, _ = _geom(512, 2, seg_bucket(512, 2, 7))
+    assert mbp7 * 8 >= 7 * SEG
