@@ -181,3 +181,59 @@ def test_bitflip_device_parse_path(rng):
             pass
         finally:
             blob[pos] ^= bit
+
+
+def test_bitflip_printable_container(rng):
+    # printable container corruption: armor damage, header damage, or
+    # payload damage must all surface as ValueError (z85 parse, header
+    # CRC, or block CRC) — never a crash or silent pass
+    cfg = CodecConfig(codec="huffman", arity=2, block_size=4096,
+                      chunk_syms=512, use_device=False)
+    data = ascii_text(rng, 3 * 4096 // 2)
+    blob = bytearray(compress(data, cfg, printable=True))
+    for trial in range(40):
+        corrupt = bytearray(blob)
+        pos = int(rng.integers(len(b"DCTP1\n"), len(corrupt)))
+        corrupt[pos] ^= 1 << int(rng.integers(0, 8))
+        try:
+            out = decompress(bytes(corrupt), cfg)
+            assert out == data, "printable: silent corruption escaped"
+        except ValueError:
+            pass
+
+
+def test_bitflip_isprint_mode(rng):
+    # the 0x1f block mode's decoder under payload corruption
+    cfg = CodecConfig(codec="small_byte", block_size=2048, chunk_syms=1024,
+                      use_device=False, isprint_literal=True)
+    data = bytes(rng.integers(0x20, 0x7F, size=3000, dtype=np.uint8))
+    stream = bytearray(compress(data, cfg))
+    lo, hi = _payload_region(bytes(stream))
+    for trial in range(40):
+        corrupt = bytearray(stream)
+        pos = int(rng.integers(lo, hi))
+        corrupt[pos] ^= 1 << int(rng.integers(0, 8))
+        try:
+            out = decompress(bytes(corrupt), cfg)
+            assert out == data, "isprint: silent corruption escaped CRC"
+        except ValueError:
+            pass
+
+
+def test_truncation_printable_stream(rng):
+    # streamed printable containers: truncation anywhere raises cleanly
+    import io
+
+    from data_compression_tpu import api
+
+    cfg = CodecConfig(codec="huffman", arity=2, block_size=1024,
+                      chunk_syms=512, use_device=False)
+    data = ascii_text(rng, 5 * 1024)
+    buf = io.BytesIO()
+    api.compress_stream(io.BytesIO(data), buf, cfg, batch_blocks=2,
+                        printable=True)
+    blob = buf.getvalue()
+    for frac in (0.1, 0.5, 0.9, 0.999):
+        cut = blob[: int(len(blob) * frac)]
+        with pytest.raises(ValueError):
+            api.decompress_stream(io.BytesIO(cut), io.BytesIO(), cfg)
