@@ -255,7 +255,7 @@ def bench_huffman_decode(data: bytes, arity: int = 2):
     return len(data) / dbest / 1e9
 
 
-def bench_e2e_device(data: bytes):
+def bench_e2e_device(data: bytes, arity: int = 2):
     """Steady-state throughput of the device-resident pipeline
     (device_api): histogram + on-device table build + encode +
     compaction per iteration, zero host round trips — what a TPU-native
@@ -271,8 +271,8 @@ def bench_e2e_device(data: bytes):
     dev = jax.device_put(blocks.reshape(-1)).reshape(B, 65536)
     lens_dev = jnp.asarray(np.full(B, 65536, np.int32))
     cap = round_cap(int(0.80 * len(data)))
-    ft = device_api._tables_fn(2)
-    fe = device_api._encode_fn(2, 512, cap)
+    ft = device_api._tables_fn(arity)
+    fe = device_api._encode_fn(arity, 512, cap)
     flat, nb = fe(dev, *ft(dev, lens_dev)[:2])
     nbh = np.asarray(nb).astype(np.int64)
     assert int((-(-nbh.sum(axis=1) // 1024) * 1024).sum()) <= cap
@@ -511,6 +511,15 @@ def main() -> int:
         except Exception as e:  # pragma: no cover
             detail["e2e_device_decompress_gbps"] = f"error: {e}"
         small = make_corpus(SMALL_MB * 1024 * 1024, seed=1)
+        try:
+            # trinary is the reference's own default config
+            # (n_ary_huffman.c:2529): its device-resident pipeline now
+            # rides the block-compact path too
+            detail["e2e_device3_gbps"] = round(
+                bench_e2e_device(small, arity=3), 3
+            )
+        except Exception as e:  # pragma: no cover
+            detail["e2e_device3_gbps"] = f"error: {e}"
         for a in (3, 16):
             g, r = bench_huffman_encode(small, a)
             detail[f"huffman{a}_encode_gbps"] = round(g, 3)
