@@ -158,13 +158,13 @@ def make_shardmap_encode_step(
 
 def make_shardmap_decode_step(
     mesh: Mesh, chunk_syms: int, interpret: bool = False,
-    nseg_cap: int | None = None,
+    nseg_cap: int | None = None, arity: int = 2,
 ):
     """shard_map variant of decode: each device runs the fused Pallas
-    decode kernel (n=2) on its local share of 8-block cells.  Inputs
-    are prep_decode_inputs()'s arrays, sharded over the leading cell
-    axis (``nseg_cap`` is its static payload-geometry bound); returns
-    [NC, 8*C, 128] u8 shards."""
+    decode kernel (any DEC_ARITIES arity) on its local share of
+    8-block cells.  Inputs are prep_decode_inputs()'s arrays, sharded
+    over the leading cell axis (``nseg_cap`` is its static
+    payload-geometry bound); returns [NC, 8*C, 128] u8 shards."""
     from jax import shard_map
 
     from data_compression_tpu.ops.pallas import decode_kernel as dk
@@ -179,6 +179,7 @@ def make_shardmap_decode_step(
             chunk_syms=chunk_syms,
             interpret=interpret,
             nseg_cap=nseg_cap,
+            arity=arity,
         )
 
     fn = shard_map(
@@ -401,8 +402,12 @@ def decompress_sharded(
     arity = frame.arity
     C = frame.chunk_syms or (config.chunk_syms if config else 4096)
     mb = max_chunk_bytes(C, arity)
+    from data_compression_tpu.ops.pallas.decode_kernel import DEC_ARITIES
+
     plat = mesh.devices.flat[0].platform
-    geom = arity == 2 and _pallas_geom_ok(2, frame.block_size, C)
+    geom = arity in DEC_ARITIES and _pallas_geom_ok(
+        arity, frame.block_size, C
+    )
     if use_pallas is None:
         use_pallas = plat == "tpu" and geom
     if use_pallas and not geom:
@@ -457,10 +462,10 @@ def decompress_sharded(
         while len(pb) % need:
             pb.append([])
             btables.append(btables[0])
-        *args, nseg_cap = dk.prep_decode_inputs(pb, btables, C)
+        *args, nseg_cap = dk.prep_decode_inputs(pb, btables, C, arity=arity)
         dp1 = NamedSharding(mesh, P("data"))
         step_p = make_shardmap_decode_step(
-            mesh, C, interpret=plat != "tpu", nseg_cap=nseg_cap
+            mesh, C, interpret=plat != "tpu", nseg_cap=nseg_cap, arity=arity
         )
         out_dev = step_p(*[jax.device_put(a, dp1) for a in args])
         arr = np.asarray(out_dev).reshape(-1, C, 128).transpose(0, 2, 1)
