@@ -137,7 +137,6 @@ def main() -> int:
               "maxlen_bucket": maxlen}
 
     # ---- pallas pass-through floor: read [C,128] u8, write it back
-    import functools
 
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
