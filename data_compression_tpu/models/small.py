@@ -493,6 +493,17 @@ class SmallByteCodec(Codec):
     ) -> EncodeResult:
         from data_compression_tpu import native
 
+        if (
+            self.config.use_scan and blocks.shape[0] > 1
+            and stats is None and not self.config.isprint_literal
+        ):
+            from data_compression_tpu.ops.scan_codecs import (
+                small_byte_encode_blocks,
+            )
+
+            return EncodeResult(
+                payloads=small_byte_encode_blocks(blocks, lengths)
+            )
         B = blocks.shape[0]
         lengths = np.asarray(lengths, np.int64)
         pos = np.arange(blocks.shape[1])[None, :] < lengths[:, None]

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from data_compression_tpu.models import nybble as nyb_host
+from data_compression_tpu.models.small import MAX_WORD
 
 _SEED = jnp.asarray(np.frombuffer(nyb_host.SEED_ROW, np.uint8).astype(np.int32))
 
@@ -291,6 +292,160 @@ def small_byte_decode_blocks(payloads: List[bytes], raw_lens: List[int]) -> List
         )
     )
     return [outs[i, : int(rl[i])].tobytes() for i in range(B)]
+
+
+def _small_byte_encode_lane(src, length):
+    """Greedy longest-match scheme-A encoder as one scan lane —
+    the device mirror of models.small.small_byte_encode_host (same
+    frozen-span dictionary, generation counters, banned-slot rule).
+
+    One scan step consumes exactly one source byte: it either extends
+    the in-flight match (no emission) or emits the finished word's
+    index and starts a new match at this byte.  Emissions scatter by
+    exclusive cumsum, like the nybble lane.  src: [S] int32 (7-bit);
+    returns (out [S+4] uint8 incl. the type byte + verbatim first
+    byte, total i32)."""
+    S = src.shape[0]
+    NS = 0x7F  # dict slots per context
+
+    def step(carry, i):
+        (starts, lens_, gen, prefix, pgen, letter, nwi,
+         ctx_c, banned, index, mstart, mlen,
+         pctx, pidx, ppos, plen) = carry
+        active = i < length
+        b = src[jnp.minimum(i, S - 1)]
+
+        # try to extend the in-flight match with byte b
+        slot = index - 0x80  # <0 for literal prefixes
+        gref = gen[ctx_c, jnp.clip(slot, 0, NS - 1)]
+        ok = (prefix[ctx_c] == index) & (letter[ctx_c] == b)
+        ok = ok & jnp.where(slot >= 0, pgen[ctx_c] == gref, True)
+        ok = ok & (jnp.arange(NS) != banned)
+        hit = jnp.any(ok)
+        w = jnp.argmax(ok)
+        can_extend = hit & (mlen < MAX_WORD - 1)
+
+        # a miss emits the finished word and does the deferred insert:
+        # new dict word = previous word + first byte of this word
+        emit = active & ~can_extend
+        tochange = nwi[pctx]
+        first_b = src[jnp.minimum(mstart, S - 1)]
+        starts = jnp.where(emit, starts.at[pctx, tochange].set(ppos), starts)
+        lens_ = jnp.where(emit, lens_.at[pctx, tochange].set(plen + 1), lens_)
+        gen = jnp.where(emit, gen.at[pctx, tochange].add(1), gen)
+        prefix = jnp.where(emit, prefix.at[pctx, tochange].set(pidx), prefix)
+        pslot = pidx - 0x80
+        pg = jnp.where(
+            pslot >= 0, gen[pctx, jnp.clip(pslot, 0, NS - 1)], 0
+        )
+        pgen = jnp.where(emit, pgen.at[pctx, tochange].set(pg), pgen)
+        letter = jnp.where(emit, letter.at[pctx, tochange].set(first_b), letter)
+        nwi = jnp.where(emit, nwi.at[pctx].set((tochange + 1) % NS), nwi)
+
+        out_byte = index
+        # previous-word bookkeeping rolls forward on emission
+        pctx = jnp.where(emit, ctx_c, pctx)
+        pidx = jnp.where(emit, index, pidx)
+        ppos = jnp.where(emit, mstart, ppos)
+        plen = jnp.where(emit, mlen, plen)
+
+        # start a new match at byte b (on emission) or extend
+        new_ctx = src[jnp.minimum(i - 1, S - 1)] & 31
+        new_banned = jnp.where(
+            new_ctx == pctx, nwi[pctx], -1
+        )
+        ctx_c = jnp.where(emit, new_ctx, ctx_c)
+        banned = jnp.where(emit, new_banned, banned)
+        index = jnp.where(
+            emit, b, jnp.where(can_extend & active, 0x80 + w, index)
+        )
+        mstart = jnp.where(emit, i, mstart)
+        mlen = jnp.where(
+            emit, 1, jnp.where(can_extend & active, mlen + 1, mlen)
+        )
+        count = jnp.where(emit, 1, 0)
+        return (
+            (starts, lens_, gen, prefix, pgen, letter, nwi,
+             ctx_c, banned, index, mstart, mlen,
+             pctx, pidx, ppos, plen),
+            (count, out_byte),
+        )
+
+    letter0 = jnp.tile(jnp.arange(NS, dtype=jnp.int32)[None, :], (32, 1))
+    letter0 = letter0.at[:, 0].set(ord("x"))
+    # the first word starts at position 1 (src[0] rides verbatim)
+    carry0 = (
+        jnp.full((32, NS), -1, jnp.int32),   # starts
+        jnp.full((32, NS), 2, jnp.int32),    # lengths
+        jnp.zeros((32, NS), jnp.int32),      # gen
+        jnp.full((32, NS), ord(" "), jnp.int32),  # prefix
+        jnp.zeros((32, NS), jnp.int32),      # prefix_gen
+        letter0,                              # letter
+        jnp.zeros((32,), jnp.int32),         # nwi
+        src[0] & 31,                          # ctx of first word
+        jnp.int32(-1),                        # banned (pctx=ctx(' ')=0
+        #   differs from ctx unless src[0]&31==0; fixed below)
+        src[jnp.minimum(1, S - 1)],           # index (first byte)
+        jnp.int32(1),                         # mstart
+        jnp.int32(1),                         # mlen
+        jnp.int32(ord(" ") & 31),             # pctx
+        src[0],                               # pidx
+        jnp.int32(0),                         # ppos
+        jnp.int32(1),                         # plen
+    )
+    # banned for the first word: host rule vs prev_context = ctx(' ')
+    carry0 = carry0[:8] + (
+        jnp.where((src[0] & 31) == (ord(" ") & 31), 0, -1).astype(jnp.int32),
+    ) + carry0[9:]
+    (carry, (counts, bts)) = jax.lax.scan(
+        step, carry0, jnp.arange(2, S + 1)
+    )
+    # flush the in-flight word (positions consumed: 1..length-1)
+    index_f = carry[9]
+    have_tail = length > 1
+    counts = jnp.concatenate([counts, jnp.where(have_tail, 1, 0)[None]])
+    bts = jnp.concatenate([bts, index_f[None]])
+
+    out = jnp.zeros((S + 4,), jnp.int32)
+    out = out.at[0].set(8)  # EIGHT_BIT_PRUNED
+    out = out.at[1].set(src[0])
+    start = 2 + jnp.cumsum(counts) - counts
+    trash = S + 3
+    idx1 = jnp.where(counts >= 1, start, trash)
+    out = out.at[idx1].set(bts, mode="drop")
+    total = jnp.where(length > 0, 2 + jnp.sum(counts), 1)
+    return out.astype(jnp.uint8), total
+
+
+@jax.jit
+def _small_byte_encode_batch(src, lengths):
+    return jax.vmap(_small_byte_encode_lane)(
+        src.astype(jnp.int32), lengths
+    )
+
+
+def small_byte_encode_blocks(blocks: np.ndarray, lengths: np.ndarray) -> List[bytes]:
+    """Device-parallel scheme-A encode, one scan lane per block —
+    bit-exact with models.small.small_byte_encode_host (differential-
+    tested).  Blocks with bytes >= 0x80 return raw (framing turns them
+    into LITERAL blocks), matching the host path's precondition."""
+    blocks = np.asarray(blocks, np.uint8)
+    lengths = np.asarray(lengths, np.int64)
+    out, totals = _small_byte_encode_batch(
+        jnp.asarray(blocks), jnp.asarray(lengths, jnp.int32)
+    )
+    out = np.asarray(out)
+    totals = np.asarray(totals)
+    payloads = []
+    for i in range(blocks.shape[0]):
+        n = int(lengths[i])
+        if n and blocks[i, :n].max(initial=0) >= 0x80:
+            payloads.append(blocks[i, :n].tobytes())
+        elif n == 0:
+            payloads.append(bytes([8]))
+        else:
+            payloads.append(out[i, : int(totals[i])].tobytes())
+    return payloads
 
 
 W2MAX = 512  # longest nybble-LZW word in NYBBLES (2 * MAX_WORD)

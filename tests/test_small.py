@@ -192,3 +192,34 @@ def test_isprint_mode_api_mixed_blocks(rng):
     )
     out = compress(data, cfg)
     assert decompress(out) == data
+
+
+def test_byte_device_encode_matches_host(rng):
+    # scheme-A scan ENCODE lane vs the host encoder, bit-exact —
+    # completes the device-path symmetry (decode lanes landed earlier)
+    from data_compression_tpu.ops.scan_codecs import small_byte_encode_blocks
+
+    texts = [
+        b"the cat sat on the mat. " * 30,
+        bytes(rng.integers(1, 127, size=2500, dtype=np.uint8)),
+        bytes(rng.integers(1, 24, size=5000, dtype=np.uint8)),  # slot wrap
+        ascii_text(rng, 2000),
+    ]
+    S = max(len(t) for t in texts)
+    blocks = np.zeros((len(texts), S), np.uint8)
+    lens = np.zeros(len(texts), np.int64)
+    for i, t in enumerate(texts):
+        blocks[i, : len(t)] = np.frombuffer(t, np.uint8)
+        lens[i] = len(t)
+    got = small_byte_encode_blocks(blocks, lens)
+    for g, t in zip(got, texts):
+        assert g == small_byte_encode_host(t)
+        assert small_byte_decode_host(g, len(t)) == t
+
+
+def test_byte_use_scan_encode_api_roundtrip(rng):
+    data = ascii_text(rng, 8 * 1024)
+    cfg = CodecConfig(codec="small_byte", block_size=2048, chunk_syms=1024,
+                      use_scan=True)
+    out = compress(data, cfg)
+    assert decompress(out) == data
