@@ -576,6 +576,14 @@ class SmallNybbleCodec(Codec):
     ) -> EncodeResult:
         from data_compression_tpu import native
 
+        if self.config.use_scan and blocks.shape[0] > 1 and stats is None:
+            from data_compression_tpu.ops.scan_codecs import (
+                small_nybble_encode_blocks,
+            )
+
+            return EncodeResult(
+                payloads=small_nybble_encode_blocks(blocks, lengths)
+            )
         if native.load() is not None and stats is None:
             return EncodeResult(
                 payloads=native.encode_batch("small_nybble", blocks, lengths)

@@ -451,6 +451,155 @@ def small_byte_encode_blocks(blocks: np.ndarray, lengths: np.ndarray) -> List[by
 W2MAX = 512  # longest nybble-LZW word in NYBBLES (2 * MAX_WORD)
 
 
+def _small_nybble_encode_lane(src, length):
+    """Greedy longest-match scheme-B encoder as one scan lane — the
+    nybble-coordinate mirror of ``_small_byte_encode_lane``
+    (models.small.small_nybble_encode_host semantics: literal indexes
+    0x10-0x1F, spans over the full decoded nybble stream, slots
+    0x80..0xFF wrapping to 0x80, the -1 first-word sentinel).  One
+    scan step consumes one source NYBBLE.  src: [S] int32 bytes;
+    returns (out [2*S+4] uint8, total i32)."""
+    S = src.shape[0]
+    NS = 256
+
+    def nyb_at(i):
+        b = src[jnp.minimum(i >> 1, S - 1)]
+        return jnp.where((i & 1) == 0, b & 0xF, (b >> 4) & 0xF)
+
+    lit_slots = (jnp.arange(NS) | 0xF) == 0x1F
+
+    def step(carry, i):
+        (starts, lens_, gen, prefix, pgen, letter, nwi,
+         ctx_c, banned, index, mstart, mlen,
+         pctx, pidx, ppos, plen) = carry
+        active = i < 2 * length
+        nyb = nyb_at(i)
+
+        # extend the in-flight match with nybble `nyb`?
+        is_lit_idx = (index | 0xF) == 0x1F
+        st_idx = starts[ctx_c, jnp.clip(index, 0, NS - 1)]
+        g_idx = gen[ctx_c, jnp.clip(index, 0, NS - 1)]
+        need_gen = jnp.where(st_idx >= 0, g_idx, 0)
+        ok = (prefix[ctx_c] == index) & (letter[ctx_c] == nyb)
+        ok = ok & jnp.where(is_lit_idx, True, pgen[ctx_c] == need_gen)
+        ok = ok & ~lit_slots & (jnp.arange(NS) != banned)
+        hit = jnp.any(ok)
+        w = jnp.argmax(ok)
+        can_extend = hit & (mlen < 2 * MAX_WORD - 1)
+
+        emit = active & ~can_extend
+        tochange = nwi[pctx]
+        first_n = nyb_at(mstart)
+        starts = jnp.where(emit, starts.at[pctx, tochange].set(ppos), starts)
+        lens_ = jnp.where(emit, lens_.at[pctx, tochange].set(plen + 1), lens_)
+        gen = jnp.where(emit, gen.at[pctx, tochange].add(1), gen)
+        prefix = jnp.where(emit, prefix.at[pctx, tochange].set(pidx), prefix)
+        p_ok = (
+            (pidx >= 0)
+            & ((pidx | 0xF) != 0x1F)
+            & (starts[pctx, jnp.clip(pidx, 0, NS - 1)] >= 0)
+        )
+        pg = jnp.where(p_ok, gen[pctx, jnp.clip(pidx, 0, NS - 1)], 0)
+        pgen = jnp.where(emit, pgen.at[pctx, tochange].set(pg), pgen)
+        letter = jnp.where(emit, letter.at[pctx, tochange].set(first_n), letter)
+        nxt = jnp.where(tochange + 1 >= 0x100, 0x80, tochange + 1)
+        nwi = jnp.where(emit, nwi.at[pctx].set(nxt), nwi)
+
+        out_byte = index
+        pctx = jnp.where(emit, ctx_c, pctx)
+        pidx = jnp.where(emit, index, pidx)
+        ppos = jnp.where(emit, mstart, ppos)
+        plen = jnp.where(emit, mlen, plen)
+
+        # new word starts at nybble i: context = last complete output
+        # byte (output == input), i.e. src[i//2 - 1]
+        new_ctx = src[jnp.minimum(jnp.maximum((i >> 1) - 1, 0), S - 1)] & 31
+        new_banned = jnp.where(new_ctx == pctx, nwi[pctx], -1)
+        ctx_c = jnp.where(emit, new_ctx, ctx_c)
+        banned = jnp.where(emit, new_banned, banned)
+        index = jnp.where(
+            emit, nyb | 0x10, jnp.where(can_extend & active, w, index)
+        )
+        mstart = jnp.where(emit, i, mstart)
+        mlen = jnp.where(
+            emit, 1, jnp.where(can_extend & active, mlen + 1, mlen)
+        )
+        count = jnp.where(emit, 1, 0)
+        return (
+            (starts, lens_, gen, prefix, pgen, letter, nwi,
+             ctx_c, banned, index, mstart, mlen,
+             pctx, pidx, ppos, plen),
+            (count, out_byte),
+        )
+
+    idx = jnp.arange(NS, dtype=jnp.int32)
+    carry0 = (
+        jnp.full((32, NS), -1, jnp.int32),               # starts
+        jnp.zeros((32, NS), jnp.int32),                  # lengths
+        jnp.zeros((32, NS), jnp.int32),                  # gen
+        jnp.tile(((idx & 0x0F) | 0x10)[None, :], (32, 1)),  # prefix
+        jnp.zeros((32, NS), jnp.int32),                  # prefix_gen
+        jnp.tile(((idx >> 4) & 0x0F)[None, :], (32, 1)),  # letter
+        jnp.full((32,), 0x80, jnp.int32),                # nwi
+        src[0] & 31,                                     # ctx first word
+        jnp.where((src[0] & 31) == (ord(" ") & 31), jnp.int32(0x80),
+                  jnp.int32(-1)),                        # banned
+        nyb_at(jnp.int32(2)) | 0x10,                     # index
+        jnp.int32(2),                                    # mstart
+        jnp.int32(1),                                    # mlen
+        jnp.int32(ord(" ") & 31),                        # pctx
+        jnp.int32(-1),                                   # pidx sentinel
+        jnp.int32(0),                                    # ppos
+        jnp.int32(2),                                    # plen
+    )
+    (carry, (counts, bts)) = jax.lax.scan(
+        step, carry0, jnp.arange(3, 2 * S + 1)
+    )
+    index_f = carry[9]
+    have_tail = length > 1
+    counts = jnp.concatenate([counts, jnp.where(have_tail, 1, 0)[None]])
+    bts = jnp.concatenate([bts, index_f[None]])
+
+    out = jnp.zeros((2 * S + 4,), jnp.int32)
+    out = out.at[0].set(8)  # EIGHT_BIT_PRUNED
+    out = out.at[1].set(src[0])
+    start = 2 + jnp.cumsum(counts) - counts
+    trash = 2 * S + 3
+    idx1 = jnp.where(counts >= 1, start, trash)
+    out = out.at[idx1].set(bts, mode="drop")
+    total = jnp.where(length > 0, 2 + jnp.sum(counts), 1)
+    return out.astype(jnp.uint8), total
+
+
+@jax.jit
+def _small_nybble_encode_batch(src, lengths):
+    return jax.vmap(_small_nybble_encode_lane)(
+        src.astype(jnp.int32), lengths
+    )
+
+
+def small_nybble_encode_blocks(
+    blocks: np.ndarray, lengths: np.ndarray
+) -> List[bytes]:
+    """Device-parallel scheme-B encode, one scan lane per block —
+    bit-exact with models.small.small_nybble_encode_host."""
+    blocks = np.asarray(blocks, np.uint8)
+    lengths = np.asarray(lengths, np.int64)
+    out, totals = _small_nybble_encode_batch(
+        jnp.asarray(blocks), jnp.asarray(lengths, jnp.int32)
+    )
+    out = np.asarray(out)
+    totals = np.asarray(totals)
+    payloads = []
+    for i in range(blocks.shape[0]):
+        n = int(lengths[i])
+        if n == 0:
+            payloads.append(bytes([8]))
+        else:
+            payloads.append(out[i, : int(totals[i])].tobytes())
+    return payloads
+
+
 def _small_nybble_decode_lane(payload, plen, raw_len, S):
     """One small_nybble block as a scan over compressed indexes.
 

@@ -223,3 +223,26 @@ def test_byte_use_scan_encode_api_roundtrip(rng):
                       use_scan=True)
     out = compress(data, cfg)
     assert decompress(out) == data
+
+
+def test_nybble_device_encode_matches_host(rng):
+    # scheme-B scan ENCODE lane vs the host encoder, bit-exact — with
+    # the decode lane, every serial codec now has device lanes in both
+    # directions
+    from data_compression_tpu.ops.scan_codecs import small_nybble_encode_blocks
+
+    texts = [
+        b"the cat sat on the mat. " * 30,
+        bytes(rng.integers(1, 250, size=1500, dtype=np.uint8)),
+        bytes(rng.integers(1, 16, size=4000, dtype=np.uint8)),  # slot wrap
+    ]
+    S = max(len(t) for t in texts)
+    blocks = np.zeros((len(texts), S), np.uint8)
+    lens = np.zeros(len(texts), np.int64)
+    for i, t in enumerate(texts):
+        blocks[i, : len(t)] = np.frombuffer(t, np.uint8)
+        lens[i] = len(t)
+    got = small_nybble_encode_blocks(blocks, lens)
+    for g, t in zip(got, texts):
+        assert g == small_nybble_encode_host(t)
+        assert small_nybble_decode_host(g, len(t)) == t
