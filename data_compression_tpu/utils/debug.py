@@ -151,3 +151,30 @@ class CodecStats:
             f"hits {self.hits}, literals {self.literals} ({pct:.1f}% predicted); "
             f"per-context {self.times_used_directly}"
         )
+
+
+def dump_small_dictionary(d, out: bytes, max_entries: int = 40) -> str:
+    """Render a scheme-A span dictionary's non-default entries
+    (debug_print_dictionary_entry/contents, small_compression.c:322-374
+    — "decode every entry that differs from its default").  ``d``: a
+    models.small._ByteDict after decoding ``out``; spans render as the
+    actual output bytes they freeze."""
+    lines = ["small span dictionary (non-default entries):"]
+    shown = 0
+    for ctx in range(d.start.shape[0]):
+        for s in range(d.start.shape[1]):
+            st = int(d.start[ctx, s])
+            if st < 0:
+                continue
+            ln = int(d.length[ctx, s])
+            word = bytes(out[st : st + ln])
+            lines.append(
+                f"  ctx {ctx:2d} slot {s:3d}: ({st},{ln}) {c_literal(word)}"
+            )
+            shown += 1
+            if shown >= max_entries:
+                lines.append(f"  ... (capped at {max_entries})")
+                return "\n".join(lines)
+    if shown == 0:
+        lines.append("  (all defaults)")
+    return "\n".join(lines)

@@ -119,3 +119,35 @@ def test_armor_cli(tmp_path, rng):
         assert main(["armor", "-a", alpha, str(src), str(a)]) == 0
         assert main(["dearmor", str(a), str(b)]) == 0
         assert b.read_bytes() == data
+
+
+def test_dump_small_dictionary():
+    # the reference's dictionary dump (small_compression.c:322-374),
+    # rendered from a live decode's span dictionary
+    from data_compression_tpu.models.small import (
+        _ByteDict,
+        small_byte_encode_host,
+    )
+    from data_compression_tpu.utils.debug import dump_small_dictionary
+
+    data = b"the cat sat on the mat. the cat sat again. " * 5
+    payload = small_byte_encode_host(data)
+    # replay the decoder to populate a dictionary
+    from data_compression_tpu.models.small import small_byte_decode_host
+
+    assert small_byte_decode_host(payload, len(data)) == data
+    d = _ByteDict()
+    out = bytearray([payload[1]])
+    prev = (0, payload[1], 0, 1)
+    i = 2
+    while len(out) < len(data):
+        index = payload[i]
+        i += 1
+        ctx = out[-1] & 31
+        pos = len(out)
+        wl = d.emit(ctx, index, out)
+        d.add(prev[0], prev[1], prev[2], prev[3], out[pos])
+        prev = (ctx, index, pos, wl)
+    text = dump_small_dictionary(d, bytes(out))
+    assert "ctx" in text and "slot" in text
+    assert text.count("\n") > 3  # real entries rendered
